@@ -1,0 +1,74 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unet_watermark_tpu.ops import augment as aug
+
+
+def _batch(n=4, s=32, seed=0):
+    rng = np.random.default_rng(seed)
+    imgs = jnp.asarray(rng.random((n, s, s, 3)), jnp.float32)
+    masks = jnp.zeros((n, s, s, 1), jnp.float32).at[:, 8:24, 8:24].set(1.0)
+    return imgs, masks
+
+
+@pytest.mark.parametrize("policy", list(aug.POLICIES))
+def test_policies_produce_valid_outputs(policy):
+    imgs, masks = _batch()
+    key = jax.random.PRNGKey(0)
+    out_i, out_m = aug.augment_batch(key, imgs, masks, policy,
+                                     apply_normalize=False)
+    assert out_i.shape == imgs.shape and out_m.shape == masks.shape
+    oi, om = np.asarray(out_i), np.asarray(out_m)
+    assert np.isfinite(oi).all()
+    assert oi.min() >= -1e-5 and oi.max() <= 1 + 1e-5
+    assert set(np.unique(om)).issubset({0.0, 1.0})  # masks stay binary
+
+
+def test_geometry_applied_to_mask_and_image_together():
+    """If the image flipped, the mask must flip with it."""
+    imgs, masks = _batch(n=16)
+    # mark a corner to detect flips
+    imgs = imgs.at[:, :4, :4, :].set(1.0)
+    masks = jnp.zeros_like(masks).at[:, :4, :4, :].set(1.0)
+    key = jax.random.PRNGKey(3)
+    out_i, out_m = aug.augment_batch(key, imgs, masks, "basic",
+                                     apply_normalize=False)
+    oi, om = np.asarray(out_i), np.asarray(out_m)
+    for i in range(16):
+        # wherever the mask is 1, the image should be (near) 1 too —
+        # geometric transforms moved them identically (photometric ops
+        # shift intensity, so just require above-median brightness)
+        sel = om[i, :, :, 0] > 0.5
+        if sel.sum() == 0:
+            continue
+        assert oi[i][sel].mean() > oi[i].mean()
+
+
+def test_deterministic_given_key():
+    imgs, masks = _batch()
+    key = jax.random.PRNGKey(42)
+    a = aug.augment_batch(key, imgs, masks, "transparent_watermark")
+    b = aug.augment_batch(key, imgs, masks, "transparent_watermark")
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    c = aug.augment_batch(jax.random.PRNGKey(43), imgs, masks,
+                          "transparent_watermark")
+    assert not np.allclose(np.asarray(a[0]), np.asarray(c[0]))
+
+
+def test_normalize_matches_imagenet():
+    imgs = jnp.ones((1, 4, 4, 3), jnp.float32) * 0.5
+    out = aug.normalize(imgs)
+    expected = (0.5 - np.array([0.485, 0.456, 0.406])) / \
+        np.array([0.229, 0.224, 0.225])
+    np.testing.assert_allclose(np.asarray(out)[0, 0, 0], expected, rtol=1e-5)
+    back = aug.denormalize(out)
+    np.testing.assert_allclose(np.asarray(back), 0.5, atol=1e-6)
+
+
+def test_augment_is_jittable():
+    imgs, masks = _batch()
+    f = jax.jit(lambda k, i, m: aug.augment_batch(k, i, m, "enhanced"))
+    out_i, out_m = f(jax.random.PRNGKey(0), imgs, masks)
+    assert np.isfinite(np.asarray(out_i)).all()

@@ -1,0 +1,120 @@
+import os
+
+import cv2
+import numpy as np
+import pytest
+from PIL import Image
+
+from unet_watermark_tpu.configs import get_cfg_defaults
+from unet_watermark_tpu.data import (
+    DataPipeline,
+    WatermarkDataset,
+    create_datasets,
+)
+from unet_watermark_tpu.data.gen_data import generate_dataset
+from unet_watermark_tpu.parallel import make_mesh
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    """Synthetic ROOT/{watermarked,clean,masks} tree (12 images)."""
+    clean = tmp_path_factory.mktemp("cleansrc")
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        arr = (rng.random((80, 80, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(clean / f"c{i}.jpg", quality=95)
+    root = tmp_path_factory.mktemp("root")
+    generate_dataset(str(clean), str(root), logos_dir=None, count=12, seed=3)
+    return str(root)
+
+
+def test_dataset_loads_with_masks(data_root):
+    ds = WatermarkDataset(
+        watermarked_dirs=os.path.join(data_root, "watermarked"),
+        clean_dirs=os.path.join(data_root, "clean"),
+        mask_dirs=os.path.join(data_root, "masks"),
+        img_size=64)
+    assert len(ds) > 0
+    img, mask = ds[0]
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    assert mask.shape == (64, 64)
+    assert (mask > 0).any()
+
+
+def test_mask_generation_absdiff(tmp_path):
+    """No masks dir → absdiff generation path, cached to disk."""
+    wdir, cdir, mdir = (tmp_path / d for d in ("watermarked", "clean",
+                                               "masks"))
+    for d in (wdir, cdir):
+        os.makedirs(d)
+    rng = np.random.default_rng(1)
+    clean = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    wm = clean.copy()
+    wm[10:30, 10:30] = 255  # a bright watermark patch
+    Image.fromarray(clean).save(cdir / "a.png")
+    Image.fromarray(wm).save(wdir / "a.png")
+    ds = WatermarkDataset(str(wdir), str(cdir), str(mdir), img_size=64,
+                          generate_mask_threshold=30)
+    img, mask = ds[0]
+    assert (mask[12:28, 12:28] > 0).mean() > 0.9
+    assert (mask[40:, 40:] > 0).mean() < 0.05
+    assert os.path.exists(mdir / "a.png")  # cached
+
+
+def test_corrupted_image_skipped(tmp_path):
+    wdir = tmp_path / "watermarked"
+    os.makedirs(wdir)
+    (wdir / "bad.jpg").write_bytes(b"not an image")
+    arr = np.zeros((32, 32, 3), np.uint8)
+    Image.fromarray(arr).save(wdir / "good.jpg")
+    ds = WatermarkDataset(str(wdir), img_size=32)
+    img, mask = ds[0]  # "bad.jpg" sorts first; loader must skip to good
+    assert img.shape == (32, 32, 3)
+
+
+def test_create_datasets_split(data_root):
+    cfg = get_cfg_defaults()
+    cfg.DATA.ROOT_DIR = data_root
+    cfg.DATA.IMG_SIZE = 64
+    cfg.DATA.CACHE_IMAGES = True
+    train, val = create_datasets(cfg)
+    n = len(train) + len(val)
+    assert n > 0
+    assert abs(len(train) - int(0.8 * n)) <= 1
+    # determinism
+    train2, val2 = create_datasets(cfg)
+    assert train.indices == train2.indices
+
+
+def test_pipeline_batches_and_padding(data_root):
+    ds = WatermarkDataset(
+        watermarked_dirs=os.path.join(data_root, "watermarked"),
+        mask_dirs=os.path.join(data_root, "masks"), img_size=64)
+    mesh = make_mesh()  # 8 virtual CPU devices
+    pipe = DataPipeline(ds, batch_size=8, mesh=mesh, shuffle=True, seed=0,
+                        num_workers=2)
+    batches = list(pipe)
+    assert len(batches) == (len(ds) + 7) // 8
+    for b in batches:
+        assert b["image"].shape == (8, 64, 64, 3)
+        assert b["mask"].shape == (8, 64, 64, 1)
+        assert b["valid"].shape == (8,)
+        assert float(np.asarray(b["image"]).max()) <= 1.0
+    total_valid = sum(float(np.asarray(b["valid"]).sum()) for b in batches)
+    assert int(total_valid) == len(ds)
+    # batch must actually be sharded over the mesh
+    shard0 = batches[0]["image"].sharding
+    assert shard0.num_devices == 8
+
+
+def test_pipeline_epoch_reshuffle(data_root):
+    ds = WatermarkDataset(
+        watermarked_dirs=os.path.join(data_root, "watermarked"),
+        mask_dirs=os.path.join(data_root, "masks"), img_size=64)
+    pipe = DataPipeline(ds, batch_size=4, shuffle=True, seed=0,
+                        num_workers=2)
+    e1 = [float(np.asarray(b["image"]).sum()) for b in pipe]
+    e2 = [float(np.asarray(b["image"]).sum()) for b in pipe]
+    # same samples overall, different batch composition across epochs
+    assert sum(e1) == pytest.approx(sum(e2), rel=1e-5)
+    assert e1 != pytest.approx(e2)

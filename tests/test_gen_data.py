@@ -1,0 +1,97 @@
+import os
+import random
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from unet_watermark_tpu.data import gen_data
+
+
+@pytest.fixture(scope="module")
+def clean_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("clean")
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        arr = (rng.random((96, 128, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"clean_{i}.jpg", quality=95)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def logos_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("logos")
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        arr = np.zeros((40, 60, 4), np.uint8)
+        arr[5:35, 5:55, :3] = (rng.random(3) * 255).astype(np.uint8)
+        arr[5:35, 5:55, 3] = 255
+        Image.fromarray(arr).save(d / f"logo_{i}.png")
+    return str(d)
+
+
+def test_text_watermark_produces_mask(clean_dir):
+    rng = random.Random(0)
+    img_path = os.path.join(clean_dir, os.listdir(clean_dir)[0])
+    img, mask = gen_data.generate_text_watermark(img_path, rng=rng)
+    assert img.size == (128, 96)
+    assert mask.shape == (96, 128)
+    assert mask.max() == 255 and (mask > 0).mean() > 0.001
+
+
+def test_logo_watermark_produces_mask(clean_dir, logos_dir):
+    rng = random.Random(0)
+    img_path = os.path.join(clean_dir, os.listdir(clean_dir)[0])
+    logo = os.path.join(logos_dir, os.listdir(logos_dir)[0])
+    img, mask = gen_data.generate_watermarked_image(img_path, logo, rng=rng)
+    assert mask.shape == (96, 128)
+    assert (mask > 0).any()
+    # mask footprint must cover exactly the visibly-changed pixels' area-ish
+    clean = np.array(Image.open(img_path).convert("RGB"), np.int16)
+    wm = np.array(img, np.int16)
+    changed = (np.abs(wm - clean).max(-1) > 12)
+    if changed.any():
+        overlap = (changed & (mask > 0)).sum() / changed.sum()
+        assert overlap > 0.8
+
+
+def test_multiple_and_mixed(clean_dir, logos_dir):
+    rng = random.Random(3)
+    img_path = os.path.join(clean_dir, os.listdir(clean_dir)[0])
+    logos = gen_data.load_watermarks(logos_dir)
+    img, mask = gen_data.generate_multiple_watermarks_image(
+        img_path, logos, rng=rng)
+    assert (mask > 0).any()
+    img2, mask2 = gen_data.generate_mixed_watermark(img_path, logos, rng=rng)
+    assert (mask2 > 0).any()
+
+
+def test_overlap_area():
+    assert gen_data.calculate_overlap_area((0, 0, 10, 10), (5, 5, 10, 10)) == 25
+    assert gen_data.calculate_overlap_area((0, 0, 5, 5), (6, 6, 3, 3)) == 0
+
+
+def test_generate_dataset_with_resume(clean_dir, logos_dir, tmp_path):
+    out = str(tmp_path / "ds")
+    stats = gen_data.generate_dataset(clean_dir, out, logos_dir, count=8,
+                                      seed=7)
+    produced = sum(v for k, v in stats.items() if k != "skipped")
+    assert produced > 0
+    files = os.listdir(os.path.join(out, "watermarked"))
+    assert len(files) == produced
+    assert len(os.listdir(os.path.join(out, "masks"))) == produced
+    # resume: second run skips existing
+    stats2 = gen_data.generate_dataset(clean_dir, out, logos_dir, count=8,
+                                       seed=7)
+    assert stats2["skipped"] == produced
+
+
+def test_reproducible_with_seed(clean_dir, logos_dir):
+    img_path = os.path.join(clean_dir, os.listdir(clean_dir)[0])
+    logos = gen_data.load_watermarks(logos_dir)
+    a1, m1 = gen_data.generate_watermarked_image(
+        img_path, logos[0], rng=random.Random(5))
+    a2, m2 = gen_data.generate_watermarked_image(
+        img_path, logos[0], rng=random.Random(5))
+    np.testing.assert_array_equal(np.array(a1), np.array(a2))
+    np.testing.assert_array_equal(m1, m2)

@@ -1,0 +1,178 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from unet_watermark_tpu.configs import get_cfg_defaults
+from unet_watermark_tpu.data.gen_data import generate_dataset
+from unet_watermark_tpu.training import (
+    EarlyStopping,
+    LRScheduler,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    restore_checkpoint,
+    save_checkpoint,
+    train,
+)
+from unet_watermark_tpu.ops import losses as losses_lib
+
+
+def small_cfg(tmp, img=64):
+    cfg = get_cfg_defaults()
+    cfg.MODEL.NAME = "Unet"
+    cfg.MODEL.ENCODER_NAME = "resnet18"
+    cfg.MODEL.DTYPE = "float32"
+    cfg.DATA.IMG_SIZE = img
+    cfg.DATA.NUM_WORKERS = 2
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.TRAIN.LR = 1e-3
+    cfg.TRAIN.EPOCHS = 2
+    cfg.TRAIN.CHECKPOINT_DIR = os.path.join(tmp, "ckpts")
+    cfg.TRAIN.OUTPUT_DIR = os.path.join(tmp, "out")
+    cfg.TRAIN.MODEL_SAVE_PATH = os.path.join(tmp, "model.pth")
+    cfg.TRAIN.SAVE_INTERVAL = 1
+    cfg.LOSS.NAME = "CombinedLoss"
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    clean = tmp_path_factory.mktemp("clean")
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        arr = (rng.random((96, 96, 3)) * 200).astype(np.uint8)
+        Image.fromarray(arr).save(clean / f"c{i}.jpg", quality=95)
+    root = tmp_path_factory.mktemp("root")
+    generate_dataset(str(clean), str(root), logos_dir=None, count=16, seed=3)
+    return str(root)
+
+
+def _synthetic_batch(n=8, img=64, seed=0):
+    rng = np.random.default_rng(seed)
+    images = rng.random((n, img, img, 3)).astype(np.float32)
+    masks = np.zeros((n, img, img, 1), np.float32)
+    masks[:, 16:48, 16:48] = 1.0
+    images[:, 16:48, 16:48] = np.clip(
+        images[:, 16:48, 16:48] + 0.4, 0, 1)  # learnable signal
+    return {"image": jnp.asarray(images), "mask": jnp.asarray(masks),
+            "valid": jnp.ones((n,), jnp.float32)}
+
+
+def test_train_step_decreases_loss(tmp_path):
+    cfg = small_cfg(str(tmp_path))
+    model, state = create_train_state(cfg)
+    loss_fn = losses_lib.get_loss_function(cfg)
+    step = make_train_step(model, loss_fn, "basic", donate=False)
+    batch = _synthetic_batch()
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(12):
+        rng, sub = jax.random.split(rng)
+        state, m = step(state, batch, sub)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_eval_step_valid_mask_excludes_padding(tmp_path):
+    cfg = small_cfg(str(tmp_path))
+    model, state = create_train_state(cfg)
+    loss_fn = losses_lib.get_loss_function(cfg)
+    estep = make_eval_step(model, loss_fn)
+    full = _synthetic_batch(n=8)
+    half = {k: v for k, v in full.items()}
+    valid = np.ones((8,), np.float32)
+    valid[4:] = 0.0
+    half["valid"] = jnp.asarray(valid)
+    m_full = estep(state, full)
+    m_half = estep(state, half)
+    # tp+fp+fn+tn must count only valid pixels
+    total_half = sum(float(m_half[k]) for k in ("tp", "fp", "fn", "tn"))
+    total_full = sum(float(m_full[k]) for k in ("tp", "fp", "fn", "tn"))
+    assert total_half == pytest.approx(total_full / 2, rel=1e-5)
+
+
+def test_lr_scheduler_plateau():
+    cfg = get_cfg_defaults()
+    cfg.TRAIN.LR = 0.1
+    cfg.OPTIMIZER.SCHEDULER_PATIENCE = 1
+    cfg.OPTIMIZER.SCHEDULER_FACTOR = 0.5
+    s = LRScheduler(cfg)
+    assert s.step(1.0) == 0.1   # improves (first)
+    assert s.step(1.0) == 0.1   # bad 1
+    assert s.step(1.0) == 0.05  # bad 2 > patience → decay
+    assert s.step(0.5) == 0.05  # improvement resets
+
+
+def test_lr_scheduler_cosine_restarts():
+    cfg = get_cfg_defaults()
+    cfg.TRAIN.LR = 0.1
+    cfg.OPTIMIZER.LR_SCHEDULER = "CosineAnnealingWarmRestarts"
+    cfg.OPTIMIZER.SCHEDULER_T_0 = 4
+    cfg.OPTIMIZER.SCHEDULER_T_MULT = 2
+    cfg.OPTIMIZER.SCHEDULER_ETA_MIN = 0.0
+    s = LRScheduler(cfg)
+    lrs = [s.step() for _ in range(8)]
+    assert lrs[2] < lrs[0]      # decaying within the first period
+    assert lrs[3] == pytest.approx(0.1)  # restart at epoch 4 (t_cur=0)
+    assert lrs[4] < lrs[3]      # decaying again in the doubled period
+
+
+def test_early_stopping():
+    es = EarlyStopping(patience=2)
+    assert not es(1.0)
+    assert not es(0.9)
+    assert not es(0.95)
+    assert es(0.95)  # 2 bad epochs
+    assert es.should_stop
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = small_cfg(str(tmp_path))
+    model, state = create_train_state(cfg)
+    loss_fn = losses_lib.get_loss_function(cfg)
+    step = make_train_step(model, loss_fn, "basic", donate=False)
+    rng = jax.random.PRNGKey(0)
+    state, _ = step(state, _synthetic_batch(), rng)
+    meta = {"epoch": 1, "best_val_loss": 0.5, "history": {"train_loss": [1.0]}}
+    path = save_checkpoint(str(tmp_path / "ck"), "best_model", state, meta)
+    _, fresh = create_train_state(cfg)
+    restored, meta2 = restore_checkpoint(path, fresh)
+    assert meta2["epoch"] == 1
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+    assert int(restored.step) == int(state.step)
+
+
+def test_end_to_end_train_on_files(data_root, tmp_path):
+    """Minimum e2e slice (SURVEY.md §7.2): files → train() → checkpoint +
+    history + .pth; val metrics populated; loss finite."""
+    cfg = small_cfg(str(tmp_path))
+    cfg.DATA.ROOT_DIR = data_root
+    cfg.TRAIN.EPOCHS = 2
+    result = train(cfg, max_steps_per_epoch=2)
+    assert result["epochs_run"] == 2
+    assert np.isfinite(result["history"]["train_loss"]).all()
+    assert np.isfinite(result["history"]["val_loss"]).all()
+    assert result["best_checkpoint"] is not None
+    assert os.path.exists(os.path.join(cfg.TRAIN.OUTPUT_DIR,
+                                       "training_history.json"))
+    assert os.path.exists(cfg.TRAIN.MODEL_SAVE_PATH)  # .pth export
+
+
+def test_resume_continues_epoch_count(data_root, tmp_path):
+    cfg = small_cfg(str(tmp_path))
+    cfg.DATA.ROOT_DIR = data_root
+    cfg.TRAIN.EPOCHS = 1
+    r1 = train(cfg, max_steps_per_epoch=1)
+    cfg.TRAIN.EPOCHS = 2
+    r2 = train(cfg, resume_from=r1["best_checkpoint"],
+               max_steps_per_epoch=1)
+    # resumed at epoch 1, ran 1 more → history has 2 entries
+    assert r2["epochs_run"] == 2

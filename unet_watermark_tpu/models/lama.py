@@ -1,0 +1,179 @@
+"""LaMa-style FFC inpainting network (Suvorov et al. 2022, WACV).
+
+TPU-native reimplementation of the learned inpainting engine the reference
+reaches through iopaint's LaMa (/root/reference/src/predict.py:771-777,
+SURVEY.md §7.1 layer 7). Fast Fourier Convolutions give a global receptive
+field in every block — and FFTs are XLA-native on TPU, so the spectral
+branch lowers onto the hardware directly instead of through cuFFT.
+
+Architecture (big-lama generator):
+  input  = image(3) ⊕ hole-mask(1), holes zeroed
+  stem   = 7x7 conv → 64ch
+  down   = 3 stride-2 convs → 512ch at /8
+  body   = N FFC residual blocks (local 3x3 branch + global spectral branch)
+  up     = 3 transposed convs → 64ch at /1
+  head   = 7x7 conv → 3ch, sigmoid; composited: out*mask + image*(1-mask)
+
+bf16 for convs, fp32 for the FFT path (spectral precision matters).
+Weights train from scratch via training/train_inpaint.py — there is no
+checkpoint import path because LaMa's torch weights are not shipped with
+the reference either (it downloads them at runtime, which a zero-egress
+TPU pod cannot).
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class SpectralTransform(nn.Module):
+    """Global branch: rFFT2 → 1x1 conv on stacked (real, imag) → irFFT2."""
+
+    channels: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, h, w, c = x.shape
+        y = nn.Conv(self.channels // 2, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="reduce")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="reduce_bn")(y)
+        y = nn.relu(y)
+
+        # FFT in fp32 (bf16 FFT loses too much phase precision)
+        yf = jnp.fft.rfft2(y.astype(jnp.float32), axes=(1, 2), norm="ortho")
+        fr = jnp.concatenate([yf.real, yf.imag], axis=-1).astype(self.dtype)
+        fr = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype,
+                     name="fourier_conv")(fr)
+        fr = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, dtype=self.dtype,
+                          name="fourier_bn")(fr)
+        fr = nn.relu(fr).astype(jnp.float32)
+        half = fr.shape[-1] // 2
+        yf2 = jax.lax.complex(fr[..., :half], fr[..., half:])
+        y2 = jnp.fft.irfft2(yf2, s=(h, w), axes=(1, 2), norm="ortho")
+        y2 = y2.astype(self.dtype)
+
+        out = nn.Conv(self.channels, (1, 1), use_bias=False,
+                      dtype=self.dtype, name="project")(y2)
+        return out
+
+
+class FFC(nn.Module):
+    """Fast Fourier Convolution: local/global split with cross terms."""
+
+    channels: int
+    ratio_g: float = 0.5
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x_l, x_g, train: bool = False):
+        cg = int(self.channels * self.ratio_g)
+        cl = self.channels - cg
+        conv = lambda ch, name: nn.Conv(
+            ch, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+            dtype=self.dtype, name=name)
+        # local→local, global→local: ordinary 3x3
+        out_l = conv(cl, "l2l")(x_l)
+        if x_g is not None:
+            out_l = out_l + conv(cl, "g2l")(x_g)
+        # local→global 3x3; global→global spectral
+        out_g = conv(cg, "l2g")(x_l)
+        if x_g is not None:
+            out_g = out_g + SpectralTransform(
+                cg, dtype=self.dtype, name="g2g")(x_g, train)
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name)
+        return nn.relu(bn("bn_l")(out_l)), nn.relu(bn("bn_g")(out_g))
+
+
+class FFCResBlock(nn.Module):
+    channels: int
+    ratio_g: float = 0.5
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x_l, x_g, train: bool = False):
+        idl, idg = x_l, x_g
+        x_l, x_g = FFC(self.channels, self.ratio_g, dtype=self.dtype,
+                       name="ffc1")(x_l, x_g, train)
+        x_l, x_g = FFC(self.channels, self.ratio_g, dtype=self.dtype,
+                       name="ffc2")(x_l, x_g, train)
+        return x_l + idl, x_g + idg
+
+
+class LamaGenerator(nn.Module):
+    base_channels: int = 64
+    num_blocks: int = 9
+    ratio_g: float = 0.5
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, image, mask, train: bool = False):
+        """image (N,H,W,3) [0,1]; mask (N,H,W,1), 1 = hole. Returns the
+        composited inpainted image (known pixels passed through)."""
+        masked = image * (1.0 - mask)
+        x = jnp.concatenate([masked, mask], axis=-1).astype(self.dtype)
+
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name)
+        # stem: reflect-pad 7x7
+        x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+        x = nn.Conv(self.base_channels, (7, 7), padding="VALID",
+                    use_bias=False, dtype=self.dtype, name="stem")(x)
+        x = nn.relu(bn("stem_bn")(x))
+        # downsample x3: 64→128→256→512 at /8
+        ch = self.base_channels
+        for i in range(3):
+            ch *= 2
+            x = nn.Conv(ch, (3, 3), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)], use_bias=False,
+                        dtype=self.dtype, name=f"down{i}")(x)
+            x = nn.relu(bn(f"down{i}_bn")(x))
+
+        cg = int(ch * self.ratio_g)
+        cl = ch - cg
+        x_l, x_g = x[..., :cl], x[..., cl:]
+        for i in range(self.num_blocks):
+            x_l, x_g = FFCResBlock(ch, self.ratio_g, dtype=self.dtype,
+                                   name=f"block{i}")(x_l, x_g, train)
+        x = jnp.concatenate([x_l, x_g], axis=-1)
+
+        for i in range(3):
+            ch //= 2
+            x = nn.ConvTranspose(ch, (4, 4), strides=(2, 2), padding="SAME",
+                                 use_bias=False, dtype=self.dtype,
+                                 name=f"up{i}")(x)
+            x = nn.relu(bn(f"up{i}_bn")(x))
+
+        x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+        x = nn.Conv(3, (7, 7), padding="VALID", dtype=self.dtype,
+                    name="head")(x)
+        out = nn.sigmoid(x.astype(jnp.float32))
+        return out * mask + image * (1.0 - mask)
+
+
+def create_lama(variant: str = "lama", dtype: Dtype = jnp.bfloat16
+                ) -> LamaGenerator:
+    """Factory. 'lama' = 9 FFC blocks; 'big-lama' = 18; 'mat' maps to
+    big-lama (the reference's text-repair engine choice is a quality knob,
+    predict.py:978)."""
+    variants = {"lama": 9, "big-lama": 18, "mat": 18}
+    if variant not in variants:
+        raise ValueError(f"unknown inpaint model '{variant}'")
+    return LamaGenerator(num_blocks=variants[variant], dtype=dtype)
+
+
+def init_lama(model: LamaGenerator, img_size: int = 256, seed: int = 0):
+    rng = jax.random.PRNGKey(seed)
+    img = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+    msk = jnp.zeros((1, img_size, img_size, 1), jnp.float32)
+    return model.init(rng, img, msk, train=False)

@@ -1,0 +1,192 @@
+""".pth checkpoint interop (torch ↔ flax pytrees).
+
+BASELINE.json requires drop-in `.pth` loading; the reference saves torch
+dicts with model_state_dict/optimizer/epoch/history
+(/root/reference/src/train.py:425-460) and loads either that dict or a bare
+state_dict (/root/reference/src/predict.py:80-91). This module maps between
+SMP/torchvision state_dict names (OIHW convs) and our flax pytree (HWIO):
+
+  encoder.conv1.weight            ↔ params.encoder.conv1.kernel
+  encoder.bn1.{weight,bias}       ↔ params.encoder.bn1.{scale,bias}
+  encoder.bn1.running_{mean,var}  ↔ batch_stats.encoder.bn1.{mean,var}
+  encoder.layer{L}.{B}.convK      ↔ params.encoder.layer{L}_{B}.convK
+  encoder.layer{L}.{B}.downsample.0/.1 ↔ ...downsample_conv/downsample_bn
+  decoder.blocks.{i}.convJ.0/.1   ↔ params.decoder.block{i}.convJ.conv/bn
+  segmentation_head.0             ↔ params.segmentation_head.conv
+
+For UNet++ the nested-decoder channel plan is canonical (models/unet.py)
+rather than SMP's, so decoder import is shape-checked name mapping with an
+explicit unmapped report; the encoder (the pretrained part that matters)
+maps 1:1.
+"""
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _flatten(tree: Any, prefix: Tuple[str, ...] = ()) -> Dict[Tuple[str, ...], Any]:
+    out = {}
+    if isinstance(tree, dict) or hasattr(tree, "items"):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (str(k),)))
+    else:
+        out[prefix] = tree
+    return out
+
+
+def _unflatten(flat: Dict[Tuple[str, ...], Any]) -> Dict[str, Any]:
+    root: Dict[str, Any] = {}
+    for path, value in flat.items():
+        node = root
+        for part in path[:-1]:
+            node = node.setdefault(part, {})
+        node[path[-1]] = value
+    return root
+
+
+def _torch_name(path: Tuple[str, ...], collection: str) -> Optional[str]:
+    """Map a flax param path to the SMP/torchvision state_dict name."""
+    parts = list(path)
+    leaf = parts.pop()
+    # leaf translation
+    if collection == "params":
+        leaf_map = {"kernel": "weight", "scale": "weight", "bias": "bias"}
+    else:  # batch_stats
+        leaf_map = {"mean": "running_mean", "var": "running_var"}
+    if leaf not in leaf_map:
+        return None
+    tleaf = leaf_map[leaf]
+
+    segs: List[str] = []
+    for p in parts:
+        m = re.fullmatch(r"layer(\d+)_(\d+)", p)
+        if m:
+            segs.append(f"layer{m.group(1)}.{m.group(2)}")
+        elif p == "downsample_conv":
+            segs.append("downsample.0")
+        elif p == "downsample_bn":
+            segs.append("downsample.1")
+        elif re.fullmatch(r"block\d+", p):
+            segs.append("blocks." + p[len("block"):])
+        elif p in ("conv1", "conv2", "conv3", "bn1", "bn2", "bn3",
+                   "encoder", "decoder"):
+            segs.append(p)
+        elif p == "conv" and segs and segs[-1].startswith("conv"):
+            # ConvBnRelu: convJ.conv → convJ.0
+            segs[-1] = segs[-1] + ".0"
+        elif p == "bn" and segs and segs[-1].startswith("conv"):
+            segs[-1] = segs[-1] + ".1"
+        elif p == "segmentation_head":
+            segs.append("segmentation_head")
+        elif p == "conv" and segs and segs[-1] == "segmentation_head":
+            segs[-1] = "segmentation_head.0"
+        else:
+            segs.append(p)  # canonical (non-SMP) names pass through
+    return ".".join(segs) + "." + tleaf
+
+
+def _to_torch_layout(name: str, arr: np.ndarray) -> np.ndarray:
+    if name.endswith(".weight") and arr.ndim == 4:  # conv HWIO → OIHW
+        return np.transpose(arr, (3, 2, 0, 1))
+    return arr
+
+
+def _to_flax_layout(arr: np.ndarray, target_shape) -> Optional[np.ndarray]:
+    if arr.ndim == 4 and tuple(np.transpose(arr, (2, 3, 1, 0)).shape) == \
+            tuple(target_shape):
+        return np.transpose(arr, (2, 3, 1, 0))  # OIHW → HWIO
+    if tuple(arr.shape) == tuple(target_shape):
+        return arr
+    return None
+
+
+def export_pth(path: str, cfg, params, batch_stats,
+               epoch: int = 0, best_val_loss: float = float("inf"),
+               history: Optional[dict] = None) -> str:
+    """Write a reference-compatible .pth dict (train.py:425-435 layout)."""
+    import torch
+
+    state_dict = {}
+    for coll_name, tree in (("params", params), ("batch_stats", batch_stats)):
+        for p, v in _flatten(tree).items():
+            name = _torch_name(p, coll_name)
+            if name is None:
+                continue
+            arr = np.asarray(v)
+            state_dict[name] = torch.tensor(
+                _to_torch_layout(name, arr.astype(np.float32)))
+    payload = {
+        "model_state_dict": state_dict,
+        "epoch": epoch,
+        "best_val_loss": best_val_loss,
+        "history": history or {},
+        "config": cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg or {}),
+        "framework": "unet_watermark_tpu",
+    }
+    torch.save(payload, path)
+    return path
+
+
+def load_pth(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth and return a flat name→ndarray state_dict. Accepts both
+    the full checkpoint dict and a bare state_dict (predict.py:80-91)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model_state_dict" in obj:
+        sd = obj["model_state_dict"]
+    elif isinstance(obj, dict) and "state_dict" in obj:
+        sd = obj["state_dict"]
+    else:
+        sd = obj
+    out = {}
+    for k, v in sd.items():
+        k = k.removeprefix("module.")  # nn.DataParallel prefix
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else \
+            np.asarray(v)
+    return out
+
+
+def import_pth(path: str, variables) -> Tuple[dict, Dict[str, list]]:
+    """Load .pth weights into a flax variables dict by name+shape matching.
+
+    Returns (new_variables, report) where report lists 'loaded',
+    'missing' (ours, not in file) and 'unused' (file keys not mapped).
+    """
+    sd = load_pth(path)
+    used = set()
+    report = {"loaded": [], "missing": [], "unused": []}
+
+    new_colls = {}
+    for coll_name in ("params", "batch_stats"):
+        tree = variables.get(coll_name, {})
+        flat = _flatten(tree)
+        new_flat = {}
+        for p, v in flat.items():
+            name = _torch_name(p, coll_name)
+            arr = None
+            if name is not None and name in sd:
+                arr = _to_flax_layout(sd[name], np.shape(v))
+                if arr is not None:
+                    used.add(name)
+            if arr is not None:
+                new_flat[p] = np.asarray(arr, dtype=np.asarray(v).dtype)
+                report["loaded"].append(name)
+            else:
+                new_flat[p] = v
+                report["missing"].append(".".join(p))
+        new_colls[coll_name] = _unflatten(new_flat)
+    report["unused"] = sorted(
+        k for k in sd if k not in used and "num_batches_tracked" not in k)
+    new_vars = dict(variables)
+    new_vars.update(new_colls)
+    logger.info(".pth import: %d loaded, %d missing, %d unused",
+                len(report["loaded"]), len(report["missing"]),
+                len(report["unused"]))
+    return new_vars, report

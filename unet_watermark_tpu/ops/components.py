@@ -151,6 +151,37 @@ def filter_components_by_area(mask: Array, min_area: int,
     return (area > min_area).astype(jnp.float32)
 
 
+def component_stats(labels: Array):
+    """Per-label stats vectors over linear-index labels.
+
+    Returns dict of (H*W+1,) arrays: area, width, height, exists — the
+    device analog of cv2.connectedComponentsWithStats' stats matrix
+    (indexed by the label id instead of a compacted index). Slot 0 is
+    background.
+    """
+    h, w = labels.shape
+    flat = labels.reshape(-1)
+    nseg = h * w + 1
+    ones = (flat > 0).astype(jnp.int32)
+    ys = jnp.repeat(jnp.arange(h, dtype=jnp.int32), w)
+    xs = jnp.tile(jnp.arange(w, dtype=jnp.int32), h)
+    big = jnp.int32(2 ** 30)
+    area = jax.ops.segment_sum(ones, flat, num_segments=nseg)
+    min_y = jax.ops.segment_min(jnp.where(ones > 0, ys, big), flat,
+                                num_segments=nseg)
+    max_y = jax.ops.segment_max(jnp.where(ones > 0, ys, -1), flat,
+                                num_segments=nseg)
+    min_x = jax.ops.segment_min(jnp.where(ones > 0, xs, big), flat,
+                                num_segments=nseg)
+    max_x = jax.ops.segment_max(jnp.where(ones > 0, xs, -1), flat,
+                                num_segments=nseg)
+    exists = (area > 0).at[0].set(False)
+    width = jnp.where(exists, max_x - min_x + 1, 0)
+    height = jnp.where(exists, max_y - min_y + 1, 0)
+    return {"area": area.at[0].set(0), "width": width, "height": height,
+            "exists": exists}
+
+
 def count_components(mask: Array, connectivity: int = 8) -> Array:
     """Number of connected components (excluding background)."""
     labels = label_components(mask, connectivity)

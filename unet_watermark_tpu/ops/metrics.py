@@ -17,15 +17,27 @@ Array = jax.Array
 
 
 def confusion_stats(logits: Array, targets: Array,
-                    threshold: float = 0.5) -> Dict[str, Array]:
-    """tp/fp/fn/tn over the whole batch (micro, like smp get_stats+micro)."""
+                    threshold: float = 0.5,
+                    valid: Array = None) -> Dict[str, Array]:
+    """tp/fp/fn/tn over the whole batch (micro, like smp get_stats+micro).
+
+    `valid` is an optional (N,) 0/1 sample weight so padded remainder
+    batches (parallel/mesh.py:pad_batch_to) don't pollute the counts.
+    """
     probs = jax.nn.sigmoid(logits.astype(jnp.float32))
     pred = (probs > threshold).astype(jnp.float32)
     t = (targets > 0.5).astype(jnp.float32)
+    if valid is not None:
+        w = valid.reshape((-1,) + (1,) * (pred.ndim - 1)).astype(jnp.float32)
+        pred = pred * w
+        t = t * w
+        real = w * jnp.ones_like(pred)
+    else:
+        real = jnp.ones_like(pred)
     tp = jnp.sum(pred * t)
-    fp = jnp.sum(pred * (1.0 - t))
-    fn = jnp.sum((1.0 - pred) * t)
-    tn = jnp.sum((1.0 - pred) * (1.0 - t))
+    fp = jnp.sum(pred * (real - t))
+    fn = jnp.sum((real - pred) * t)
+    tn = jnp.sum((real - pred) * (real - t))
     return {"tp": tp, "fp": fp, "fn": fn, "tn": tn}
 
 

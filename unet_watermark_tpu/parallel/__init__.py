@@ -1,0 +1,19 @@
+from .mesh import (
+    batch_sharding,
+    local_batch_size,
+    make_mesh,
+    mesh_from_config,
+    pad_batch_to,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "batch_sharding",
+    "local_batch_size",
+    "make_mesh",
+    "mesh_from_config",
+    "pad_batch_to",
+    "replicated",
+    "shard_batch",
+]
