@@ -1,0 +1,79 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unet_watermark_tpu.ops.inpaint import inpaint_pushpull
+from unet_watermark_tpu.inference.engines import get_engine
+
+
+def _scene(n=2, s=64):
+    """Smooth gradient images with a square hole."""
+    ys, xs = np.mgrid[0:s, 0:s].astype(np.float32) / s
+    img = np.stack([ys, xs, (ys + xs) / 2], axis=-1)
+    imgs = np.stack([img] * n)
+    mask = np.zeros((n, s, s, 1), np.float32)
+    mask[:, 24:40, 24:40] = 1.0
+    return jnp.asarray(imgs), jnp.asarray(mask)
+
+
+def test_pushpull_fills_holes_plausibly():
+    imgs, mask = _scene()
+    # corrupt hole region
+    corrupted = jnp.where(mask > 0, 1.0, imgs)
+    out = np.asarray(inpaint_pushpull(corrupted, mask))
+    # hole should be close to the uncorrupted gradient (smooth scene)
+    target = np.asarray(imgs)
+    hole = np.asarray(mask)[..., 0] > 0.5
+    err = np.abs(out - target)[hole.nonzero()[0][:, None] * 0 + 0]  # noqa
+    err_hole = np.abs(out[np.asarray(mask[..., 0]) > 0.5] -
+                      target[np.asarray(mask[..., 0]) > 0.5])
+    assert err_hole.mean() < 0.05
+    # known pixels untouched
+    known = np.asarray(mask[..., 0]) < 0.5
+    np.testing.assert_allclose(out[known], np.asarray(corrupted)[known],
+                               atol=1e-6)
+
+
+def test_pushpull_output_range_and_shapes():
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((3, 96, 96, 3)), jnp.float32)
+    mask = jnp.asarray((rng.random((3, 96, 96, 1)) > 0.9), jnp.float32)
+    out = np.asarray(inpaint_pushpull(imgs, mask))
+    assert out.shape == (3, 96, 96, 3)
+    assert out.min() >= 0 and out.max() <= 1
+    assert np.isfinite(out).all()
+
+
+def test_engine_registry():
+    e = get_engine("pushpull")
+    imgs, mask = _scene(n=1)
+    out = np.asarray(e(imgs, mask))
+    assert out.shape == imgs.shape
+    with pytest.raises(ValueError):
+        get_engine("nonexistent-model")
+
+
+def test_lama_engine_falls_back_without_weights():
+    e = get_engine("lama")  # no weights → pushpull fallback, no crash
+    imgs, mask = _scene(n=1)
+    out = np.asarray(e(imgs, mask))
+    assert np.isfinite(out).all()
+
+
+def test_lama_generator_forward():
+    """FFC generator forward pass: shapes, composite property."""
+    from unet_watermark_tpu.models.lama import create_lama, init_lama
+
+    model = create_lama("lama", dtype=jnp.float32)
+    variables = init_lama(model, img_size=64)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    mask = jnp.zeros((2, 64, 64, 1), jnp.float32).at[:, 20:40, 20:40].set(1.0)
+    out = model.apply(variables, img, mask, train=False)
+    out = np.asarray(out)
+    assert out.shape == (2, 64, 64, 3)
+    assert np.isfinite(out).all()
+    # known region passes through exactly
+    known = np.asarray(mask[..., 0]) < 0.5
+    np.testing.assert_allclose(out[known], np.asarray(img)[known], atol=1e-5)

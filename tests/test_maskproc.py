@@ -1,0 +1,119 @@
+"""Mask-optimization strategies vs a cv2 reimplementation of the reference
+semantics (predict.py:161-301)."""
+import cv2
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from unet_watermark_tpu.inference import maskproc
+
+
+def cv2_optimize_watermark(mask_u8):
+    k = lambda s: cv2.getStructuringElement(cv2.MORPH_ELLIPSE, s)
+    m = cv2.morphologyEx(mask_u8, cv2.MORPH_OPEN, k((3, 3)), iterations=1)
+    m = cv2.morphologyEx(m, cv2.MORPH_CLOSE, k((7, 7)), iterations=3)
+    m = cv2.morphologyEx(m, cv2.MORPH_CLOSE, k((11, 11)), iterations=2)
+    m = cv2.dilate(m, k((9, 9)), iterations=2)
+    n, labels, stats, _ = cv2.connectedComponentsWithStats(m, connectivity=8)
+    if n > 1:
+        largest = 1 + int(np.argmax(stats[1:, cv2.CC_STAT_AREA]))
+        max_area = stats[largest, cv2.CC_STAT_AREA]
+        if max_area >= 500:
+            m = (labels == largest).astype(np.uint8) * 255
+        else:
+            keep = np.zeros_like(labels, np.uint8)
+            for i in range(1, n):
+                if stats[i, cv2.CC_STAT_AREA] > 200:
+                    keep[labels == i] = 255
+            m = keep
+    m = cv2.GaussianBlur(m, (3, 3), 0.5)
+    _, m = cv2.threshold(m, 127, 255, cv2.THRESH_BINARY)
+    return m
+
+
+def cv2_optimize_text(mask_u8):
+    k = lambda s: cv2.getStructuringElement(cv2.MORPH_ELLIPSE, s)
+    r = lambda s: cv2.getStructuringElement(cv2.MORPH_RECT, s)
+    m = cv2.morphologyEx(mask_u8, cv2.MORPH_OPEN, k((2, 2)), iterations=1)
+    m = cv2.morphologyEx(m, cv2.MORPH_CLOSE, k((3, 3)), iterations=2)
+    mh = cv2.morphologyEx(m, cv2.MORPH_CLOSE, r((5, 1)), iterations=1)
+    mv = cv2.morphologyEx(m, cv2.MORPH_CLOSE, r((1, 5)), iterations=1)
+    m = cv2.bitwise_or(mh, mv)
+    m = cv2.dilate(m, k((4, 4)), iterations=1)
+    n, labels, stats, _ = cv2.connectedComponentsWithStats(m, connectivity=8)
+    if n > 1:
+        keep = np.zeros_like(labels, np.uint8)
+        for i in range(1, n):
+            if stats[i, cv2.CC_STAT_AREA] > 50:
+                keep[labels == i] = 255
+        m = keep
+    return m
+
+
+def _blobby_mask(rng, h=96, w=96):
+    m = np.zeros((h, w), np.uint8)
+    for _ in range(6):
+        y, x = rng.integers(5, h - 20), rng.integers(5, w - 20)
+        m[y:y + rng.integers(3, 15), x:x + rng.integers(3, 15)] = 255
+    return m
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_watermark_strategy_matches_cv2(rng, seed):
+    mask = _blobby_mask(np.random.default_rng(seed))
+    ref = cv2_optimize_watermark(mask)
+    ours = np.asarray(maskproc.optimize_watermark_mask(
+        jnp.asarray(mask.astype(np.float32) / 255)))
+    mismatch = np.mean((ours > 0.5) != (ref > 127))
+    assert mismatch < 0.01, mismatch  # sub-1%: Gaussian edge rounding only
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_text_strategy_matches_cv2(seed):
+    mask = _blobby_mask(np.random.default_rng(seed + 10))
+    ref = cv2_optimize_text(mask)
+    ours = np.asarray(maskproc.optimize_text_mask(
+        jnp.asarray(mask.astype(np.float32) / 255)))
+    np.testing.assert_array_equal((ours > 0.5), ref > 127)
+
+
+def test_dispatch_by_type_code():
+    mask = _blobby_mask(np.random.default_rng(5))
+    f = jnp.asarray(mask.astype(np.float32) / 255)
+    import jax
+    for code, fn in [(0, maskproc.optimize_watermark_mask),
+                     (1, maskproc.optimize_text_mask),
+                     (2, maskproc.optimize_mixed_mask)]:
+        a = np.asarray(maskproc.optimize_mask_by_type(f, jnp.int32(code)))
+        b = np.asarray(fn(f))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_type_detection_text_vs_blob():
+    """Many small text-like components → higher score than one big blob."""
+    rng = np.random.default_rng(0)
+    img = (rng.random((128, 128, 3)) * 255).astype(np.float32)
+
+    text_mask = np.zeros((128, 128), np.float32)
+    for i in range(6):  # small letter-ish components
+        x = 10 + i * 18
+        text_mask[60:72, x:x + 10] = 1.0
+
+    blob_mask = np.zeros((128, 128), np.float32)
+    blob_mask[20:110, 20:110] = 1.0
+
+    s_text = float(maskproc.detect_watermark_type_scores(
+        jnp.asarray(img), jnp.asarray(text_mask)))
+    s_blob = float(maskproc.detect_watermark_type_scores(
+        jnp.asarray(img), jnp.asarray(blob_mask)))
+    assert s_text > s_blob
+    assert maskproc.classify_type(s_blob) == "watermark"
+
+
+def test_empty_mask_scores_zero():
+    img = np.zeros((64, 64, 3), np.float32)
+    mask = np.zeros((64, 64), np.float32)
+    s = float(maskproc.detect_watermark_type_scores(
+        jnp.asarray(img), jnp.asarray(mask)))
+    assert s == 0.0

@@ -1,0 +1,142 @@
+"""End-to-end predictor pipeline tests (steps 1-5 + fused path)."""
+import os
+
+import cv2
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+from unet_watermark_tpu.configs import get_cfg_defaults
+from unet_watermark_tpu.inference import WatermarkPredictor
+from unet_watermark_tpu.ocr import BuiltinTextDetector, get_ocr_detector
+
+
+def small_cfg(img=64):
+    cfg = get_cfg_defaults()
+    cfg.MODEL.NAME = "Unet"
+    cfg.MODEL.ENCODER_NAME = "resnet18"
+    cfg.MODEL.DTYPE = "float32"
+    cfg.DATA.IMG_SIZE = img
+    cfg.PREDICT.BATCH_SIZE = 4
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def input_folder(tmp_path_factory):
+    d = tmp_path_factory.mktemp("inputs")
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        h, w = rng.choice([64, 96]), rng.choice([64, 96])
+        arr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"img_{i}.jpg", quality=95)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    return WatermarkPredictor(model_path=None, config=small_cfg())
+
+
+def test_predict_mask_single(predictor, input_folder):
+    p = os.path.join(input_folder, sorted(os.listdir(input_folder))[0])
+    mask = predictor.predict_mask(p)
+    img = cv2.imread(p)
+    assert mask.shape == img.shape[:2]
+    assert mask.dtype == np.uint8
+    assert set(np.unique(mask)).issubset({0, 255})
+
+
+def test_predict_mask_text_and_mixed(predictor, input_folder):
+    p = os.path.join(input_folder, sorted(os.listdir(input_folder))[0])
+    for fn in (predictor.predict_text_watermark_mask,
+               predictor.predict_mixed_watermark_mask):
+        mask = fn(p)
+        assert mask.dtype == np.uint8
+
+
+def test_step1_writes_masks_and_skips_done(predictor, input_folder,
+                                           tmp_path):
+    out = str(tmp_path / "masks")
+    results = predictor.step1_batch_predict_watermark_masks(
+        input_folder, out)
+    # every processed entry has an existing mask file named <stem>_mask.png
+    for fi in results:
+        assert os.path.exists(fi["mask_path"])
+        assert fi["mask_path"].endswith("_mask.png")
+        assert 0 <= fi["watermark_ratio"] <= 1
+    # re-run skips all existing
+    results2 = predictor.step1_batch_predict_watermark_masks(
+        input_folder, out)
+    assert results2 == []
+
+
+def test_full_pipeline_process_folder_batch(predictor, input_folder,
+                                            tmp_path):
+    out = str(tmp_path / "out")
+    stats = predictor.process_folder_batch(
+        input_folder, out, watermark_model="pushpull",
+        text_model="pushpull", use_ocr=True, ocr_engine="builtin",
+        steps=1)
+    assert stats["status"] == "success"
+    assert stats["total_images"] > 0
+    assert stats["success_rate"] > 0
+    sc = stats["steps_completed"]
+    assert sc["step2_watermark_repair"] >= 0
+    # final outputs exist as <stem>.png
+    finals = [f for f in os.listdir(out) if f.endswith(".png")]
+    assert len(finals) >= stats["successful_images"] > 0
+    # intermediate folders per reference layout
+    assert os.path.isdir(os.path.join(out, "step1_masks"))
+    assert os.path.isdir(os.path.join(out, "step2_watermark_repaired"))
+
+
+def test_pipeline_no_unet_no_ocr(predictor, input_folder, tmp_path):
+    out = str(tmp_path / "out2")
+    stats = predictor.process_folder_batch(
+        input_folder, out, use_unet=False, use_ocr=False, steps=1)
+    assert stats["status"] == "success"
+    finals = [f for f in os.listdir(out) if f.endswith(".png")]
+    assert len(finals) == stats["total_images"]
+
+
+def test_fused_repair_fn(predictor):
+    fused = predictor.make_fused_repair_fn()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    out = np.asarray(fused(x))
+    assert out.shape == (2, 64, 64, 3)
+    assert np.isfinite(out).all()
+    assert out.min() >= 0 and out.max() <= 1
+
+
+def test_builtin_ocr_finds_rendered_text(tmp_path):
+    """The builtin detector should find high-contrast overlay text."""
+    from PIL import ImageDraw
+
+    img = Image.new("RGB", (200, 100), (30, 30, 30))
+    d = ImageDraw.Draw(img)
+    d.text((20, 40), "WATERMARK TEXT", fill=(255, 255, 255))
+    p = str(tmp_path / "text.png")
+    img.save(p)
+    det = BuiltinTextDetector()
+    regions = det.detect_text_regions(p)
+    assert regions, "no text regions found"
+    mask = det.generate_text_mask(p)
+    assert (mask > 0).any()
+
+
+def test_ocr_registry_fallback():
+    det = get_ocr_detector("easy")  # easyocr missing → builtin fallback
+    assert det is not None
+    det2 = get_ocr_detector("builtin")
+    assert isinstance(det2, BuiltinTextDetector)
+
+
+def test_ocr_accepts_pil_image():
+    """Regression parity with test_ocr_fix.py: PIL inputs must work."""
+    img = Image.new("RGB", (64, 64), (255, 255, 255))
+    det = BuiltinTextDetector()
+    mask = det.generate_text_mask(img)
+    assert mask is not None and mask.shape == (64, 64)

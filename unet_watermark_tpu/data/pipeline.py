@@ -58,6 +58,13 @@ class DataPipeline:
         self.prefetch = max(1, prefetch)
         self.drop_remainder = drop_remainder
         self._epoch = 0
+        # padded batch size: static shape divisible by the mesh's leading
+        # (data) axis so every device gets an equal shard; the validity
+        # mask covers the extra rows
+        self._padded_bs = batch_size
+        if mesh is not None:
+            ndev = int(np.prod(list(mesh.shape.values())))
+            self._padded_bs = -(-batch_size // ndev) * ndev
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -92,7 +99,7 @@ class DataPipeline:
                         samples = list(pool.map(
                             self.dataset.__getitem__, batch_idx.tolist()))
                         host = _assemble(samples)
-                        host, valid = pad_batch_to(host, bs)
+                        host, valid = pad_batch_to(host, self._padded_bs)
                         host["valid"] = valid
                         # device_put here (producer thread) = double buffer:
                         # the H2D copy overlaps the consumer's compute.

@@ -1,0 +1,195 @@
+"""Type-aware mask optimization + watermark-type detection, on device.
+
+Device rebuild of /root/reference/src/predict.py:161-301 (the three
+_optimize_* strategies) and :414-558 (_detect_watermark_type with geometric
+and gradient analysis). The reference runs these per-image through cv2 on
+the host; here each strategy is one jittable graph over (H, W) masks built
+from the parity-tested XLA ops (ops/morphology, ops/components), batchable
+via vmap and fusable into the detect→inpaint pipeline.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import components as cc
+from ..ops import morphology as m
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# the three optimization strategies (predict.py:188-301)
+# ---------------------------------------------------------------------------
+
+def optimize_watermark_mask(mask: Array) -> Array:
+    """predict.py:231-272: open(3) → close(7)x3 → close(11)x2 → dilate(9)x2
+    → largest-component rule → Gaussian smooth + re-threshold."""
+    x = m.morph_open(mask, m.ellipse_kernel(3, 3), 1)
+    x = m.morph_close(x, m.ellipse_kernel(7, 7), 3)
+    x = m.morph_close(x, m.ellipse_kernel(11, 11), 2)
+    x = m.dilate(x, m.ellipse_kernel(9, 9), 2)
+    x = cc.keep_largest_component(x, min_keep_area=500, fallback_min_area=200)
+    x = m.gaussian_blur(x, (3, 3), 0.5)
+    return m.threshold_binary(x, 0.5)
+
+
+def optimize_text_mask(mask: Array) -> Array:
+    """predict.py:188-229: open(2) → close(3)x2 → directional closes
+    (5x1 | 1x5) → dilate(4) → keep components with area > 50."""
+    x = m.morph_open(mask, m.ellipse_kernel(2, 2), 1)
+    x = m.morph_close(x, m.ellipse_kernel(3, 3), 2)
+    xh = m.morph_close(x, m.rect_kernel(5, 1), 1)
+    xv = m.morph_close(x, m.rect_kernel(1, 5), 1)
+    x = jnp.maximum(xh, xv)  # bitwise_or on binary masks
+    x = m.dilate(x, m.ellipse_kernel(4, 4), 1)
+    return cc.filter_components_by_area(x, min_area=50)
+
+
+def optimize_mixed_mask(mask: Array) -> Array:
+    """predict.py:274-301: open(2) → close(5)x2 → dilate(6) → area > 100."""
+    x = m.morph_open(mask, m.ellipse_kernel(2, 2), 1)
+    x = m.morph_close(x, m.ellipse_kernel(5, 5), 2)
+    x = m.dilate(x, m.ellipse_kernel(6, 6), 1)
+    return cc.filter_components_by_area(x, min_area=100)
+
+
+def optimize_mask(mask: Array, mask_type: str = "watermark") -> Array:
+    """Dispatch like predict.py:161-186. mask: (H,W) float {0,1}."""
+    mask = m.threshold_binary(mask, 0.5)
+    if mask_type == "text":
+        return optimize_text_mask(mask)
+    if mask_type == "mixed":
+        return optimize_mixed_mask(mask)
+    return optimize_watermark_mask(mask)
+
+
+# Pre-jitted per-type single-image variants (one compile per shape).
+optimize_watermark_mask_jit = jax.jit(optimize_watermark_mask)
+optimize_text_mask_jit = jax.jit(optimize_text_mask)
+optimize_mixed_mask_jit = jax.jit(optimize_mixed_mask)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def optimize_mask_by_type(mask: Array, type_code: Array) -> Array:
+    """Branchless per-image dispatch for batched pipelines: computes the
+    strategy selected by type_code (0=watermark, 1=text, 2=mixed) via
+    lax.switch — one compiled graph handles a mixed-type batch under vmap.
+    """
+    mask = m.threshold_binary(mask, 0.5)
+    return jax.lax.switch(
+        type_code,
+        [optimize_watermark_mask, optimize_text_mask, optimize_mixed_mask],
+        mask)
+
+
+# ---------------------------------------------------------------------------
+# watermark type detection (predict.py:414-558)
+# ---------------------------------------------------------------------------
+
+def _analyze_text_features(mask: Array) -> Array:
+    """Geometric text-likeness score in [0,1] (predict.py:445-509):
+    per-component aspect-ratio / density / area scoring, fraction of
+    text-like components, +0.2 bonus for >=3 mostly-text components."""
+    labels = cc.label_components(mask)
+    stats = cc.component_stats(labels)
+    area = stats["area"].astype(jnp.float32)
+    width = stats["width"].astype(jnp.float32)
+    height = stats["height"].astype(jnp.float32)
+    exists = stats["exists"] & (area > 0) & (width > 0) & (height > 0)
+
+    aspect = jnp.where(exists,
+                       jnp.maximum(width, height) /
+                       jnp.maximum(jnp.minimum(width, height), 1.0), 0.0)
+    density = jnp.where(exists, area / jnp.maximum(width * height, 1.0), 0.0)
+
+    score = jnp.zeros_like(area)
+    score += jnp.where((aspect >= 1) & (aspect <= 5), 0.3,
+                       jnp.where((aspect > 5) & (aspect <= 10), 0.1, 0.0))
+    score += jnp.where((density >= 0.3) & (density <= 0.8), 0.3,
+                       jnp.where(((density >= 0.2) & (density < 0.3)) |
+                                 ((density > 0.8) & (density <= 0.9)),
+                                 0.1, 0.0))
+    score += jnp.where((area >= 50) & (area <= 5000), 0.4,
+                       jnp.where(((area >= 20) & (area < 50)) |
+                                 ((area > 5000) & (area <= 10000)),
+                                 0.2, 0.0))
+    score = jnp.where(exists, score, 0.0)
+
+    total = jnp.sum(exists.astype(jnp.float32))
+    indicators = jnp.sum(((score > 0.5) & exists).astype(jnp.float32))
+    ratio = jnp.where(total > 0, indicators / jnp.maximum(total, 1.0), 0.0)
+    bonus = jnp.where((total >= 3) & (ratio > 0.5),
+                      jnp.minimum(ratio + 0.2, 1.0), ratio)
+    return jnp.where(jnp.sum(mask) > 0, bonus, 0.0)
+
+
+def _sobel(gray: Array) -> Tuple[Array, Array]:
+    kx = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
+    ky = kx.T
+    x = gray[None, :, :, None]
+    conv = lambda k: jax.lax.conv_general_dilated(
+        x, k[:, :, None, None], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0, :, :, 0]
+    return conv(kx), conv(ky)
+
+
+def _analyze_gradient_features(image_gray: Array, mask: Array) -> Array:
+    """Gradient-based text score in [0,1] (predict.py:511-558).
+
+    Deviations from the reference, by design: the edge map is a Sobel
+    gradient-magnitude threshold rather than full Canny (hysteresis is a
+    serial algorithm; the score only consumes edge *density*, for which
+    magnitude thresholding is an equivalent signal on TPU).
+    """
+    masked = image_gray * mask
+    gx, gy = _sobel(masked)
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    edges = (mag > 100.0).astype(jnp.float32)
+    mask_px = jnp.sum(mask)
+    edge_density = jnp.where(mask_px > 0, jnp.sum(edges * mask) /
+                             jnp.maximum(mask_px, 1.0), 0.0)
+
+    angles = jnp.arctan2(gy, gx)
+    mean = jnp.sum(angles * mask) / jnp.maximum(mask_px, 1.0)
+    var = jnp.sum(((angles - mean) ** 2) * mask) / jnp.maximum(mask_px, 1.0)
+
+    score = jnp.where((edge_density >= 0.1) & (edge_density <= 0.4), 0.5,
+                      jnp.where(((edge_density >= 0.05) &
+                                 (edge_density < 0.1)) |
+                                ((edge_density > 0.4) &
+                                 (edge_density <= 0.6)), 0.2, 0.0))
+    score += jnp.where((var >= 1.0) & (var <= 3.0), 0.5,
+                       jnp.where(((var >= 0.5) & (var < 1.0)) |
+                                 ((var > 3.0) & (var <= 4.0)), 0.2, 0.0))
+    return jnp.minimum(score, 1.0)
+
+
+@jax.jit
+def detect_watermark_type_scores(image_rgb: Array, mask: Array) -> Array:
+    """Combined text score (predict.py:440-443): 0.6*geometric + 0.4*ocr.
+
+    image_rgb: (H,W,3) float [0,255]; mask: (H,W) {0,1}.
+    Returns the scalar total_text_score; threshold at 0.7/0.3 for
+    text/mixed/watermark.
+    """
+    gray = (0.299 * image_rgb[..., 0] + 0.587 * image_rgb[..., 1] +
+            0.114 * image_rgb[..., 2])
+    ts = _analyze_text_features(mask)
+    os_ = _analyze_gradient_features(gray, mask)
+    return ts * 0.6 + os_ * 0.4
+
+
+def classify_type(score: float) -> str:
+    if score > 0.7:
+        return "text"
+    if score > 0.3:
+        return "mixed"
+    return "watermark"
+
+
+def type_code(name: str) -> int:
+    return {"watermark": 0, "text": 1, "mixed": 2}[name]

@@ -1,0 +1,725 @@
+"""WatermarkPredictor — the batched detect→repair pipeline.
+
+TPU rebuild of /root/reference/src/predict.py (the core product). The
+reference runs a 5-step, per-image, host-bound loop: UNet forward at batch
+size 1, cv2 post-processing, iopaint subprocess repair with temp-dir file
+shuffling (predict.py:560-1331). Here the same steps exist — same folder
+layout, same artifacts, same skip/fallback rules — but each step is a
+batched device computation:
+
+  step1  decode N images → ONE forward per batch → type detection and
+         type-aware mask optimization vmapped on device → masks to disk
+  step2  watermark repair: in-process batched inpaint engine (no
+         subprocess, no temp dirs), `steps` iterations on device
+  step3  OCR (host engines by nature) → box rasterization + dilation on
+         device
+  step4  text repair: same engine with text masks
+  step5  mask merge (max) + optimization, on device
+
+A fused single-graph path (`repair_batch_fused`) runs detect→threshold→
+optimize→inpaint without leaving the chip — the BASELINE.json north-star
+configuration.
+
+Deviation notes vs the reference (by design):
+  * mask optimization happens at model resolution in the batched steps
+    (one compiled shape), then final masks are resized to the original;
+    `predict_mask()` keeps original-resolution semantics for API parity.
+  * Canny inside type detection is a Sobel-magnitude threshold (see
+    inference/maskproc.py).
+"""
+from __future__ import annotations
+
+import glob
+import logging
+import os
+import random
+import shutil
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import Config, get_cfg_defaults, update_config
+from ..models import create_model_from_config, init_model
+from ..ops.augment import IMAGENET_MEAN, IMAGENET_STD
+from . import maskproc
+from .engines import get_engine
+from .tiled import pad_to_multiple, predict_tiled
+
+logger = logging.getLogger(__name__)
+
+IMAGE_EXTS = ("jpg", "jpeg", "png", "bmp", "tiff", "webp")
+
+
+class WatermarkPredictor:
+    """Analog of predict.py:38-1331 WatermarkPredictor."""
+
+    def __init__(self, model_path: Optional[str] = None,
+                 config_path: Optional[str] = None,
+                 config: Optional[Config] = None,
+                 device: str = "tpu",  # accepted for API parity; jax places
+                 state=None,
+                 inpaint_engine: Optional[str] = None):
+        self.cfg = config if config is not None else get_cfg_defaults()
+        if config is None and config_path and os.path.exists(config_path):
+            update_config(self.cfg, config_path)
+        self.device = device
+        self.model = create_model_from_config(self.cfg)
+        self.model_info: Dict = {}
+        self.variables = self._load_weights(model_path, state)
+        self.img_size = self.cfg.DATA.IMG_SIZE
+        self._engine_name = inpaint_engine
+        self._forward = jax.jit(
+            lambda imgs: self.model.apply(self.variables, imgs, train=False))
+        self._print_model_info()
+
+    # ------------------------------------------------------------------
+    # weights (predict.py:68-112)
+    # ------------------------------------------------------------------
+    def _load_weights(self, model_path, state):
+        variables = init_model(self.model, self.cfg.DATA.IMG_SIZE, seed=0)
+        if state is not None:
+            return {"params": state.params, "batch_stats": state.batch_stats}
+        if model_path is None:
+            logger.warning("no model weights given — using random init")
+            return variables
+        if not os.path.exists(model_path):
+            raise FileNotFoundError(f"model not found: {model_path}")
+        if model_path.endswith(".pth"):
+            from ..models.torch_import import import_pth, load_pth
+            variables, report = import_pth(model_path, variables)
+            try:
+                import torch
+                obj = torch.load(model_path, map_location="cpu",
+                                 weights_only=False)
+                if isinstance(obj, dict):
+                    self.model_info = {
+                        "epoch": obj.get("epoch", "Unknown"),
+                        "val_loss": obj.get("val_loss",
+                                            obj.get("best_val_loss",
+                                                    "Unknown")),
+                    }
+            except Exception:  # noqa: BLE001
+                pass
+            logger.info("loaded .pth: %d tensors, %d unmatched",
+                        len(report["loaded"]), len(report["missing"]))
+            return variables
+        # orbax checkpoint dir (ours)
+        from ..training.checkpoint import restore_checkpoint
+        from ..training.train import create_train_state
+        _, st = create_train_state(self.cfg)
+        st, meta = restore_checkpoint(model_path, st)
+        self.model_info = {"epoch": meta.get("epoch", "Unknown"),
+                           "val_loss": meta.get("best_val_loss", "Unknown")}
+        return {"params": st.params, "batch_stats": st.batch_stats}
+
+    def _print_model_info(self):
+        logger.info("UNet model: %s/%s, epoch=%s val_loss=%s",
+                    self.cfg.MODEL.NAME, self.cfg.MODEL.ENCODER_NAME,
+                    self.model_info.get("epoch", "?"),
+                    self.model_info.get("val_loss", "?"))
+
+    # ------------------------------------------------------------------
+    # file discovery (predict.py:114-160)
+    # ------------------------------------------------------------------
+    def _get_image_files(self, input_folder: str,
+                         output_folder: Optional[str] = None,
+                         limit: Optional[int] = None) -> List[str]:
+        files: List[str] = []
+        for ext in IMAGE_EXTS:
+            files.extend(glob.glob(os.path.join(input_folder, f"*.{ext}")))
+            files.extend(glob.glob(os.path.join(input_folder,
+                                                f"*.{ext.upper()}")))
+        files = sorted(set(files))
+        if output_folder and os.path.isdir(output_folder):
+            remaining = []
+            for p in files:
+                stem = os.path.splitext(os.path.basename(p))[0]
+                if not os.path.exists(os.path.join(output_folder,
+                                                   f"{stem}_mask.png")):
+                    remaining.append(p)
+            files = remaining
+        if limit is not None and 0 < limit < len(files):
+            random.shuffle(files)
+            files = files[:limit]
+        return files
+
+    # ------------------------------------------------------------------
+    # core forward helpers
+    # ------------------------------------------------------------------
+    def _normalize(self, images_01: np.ndarray) -> jnp.ndarray:
+        return (jnp.asarray(images_01) - IMAGENET_MEAN) / IMAGENET_STD
+
+    def _forward_probs(self, images_01: np.ndarray) -> np.ndarray:
+        """(N,S,S,3) [0,1] → (N,S,S) sigmoid probabilities."""
+        logits = self._forward(self._normalize(images_01))
+        return np.asarray(jax.nn.sigmoid(logits))[..., 0]
+
+    def _enhance_text_features(self, image_rgb: np.ndarray) -> np.ndarray:
+        """CLAHE + Canny-edge boost + sharpen (predict.py:370-412) — host
+        preprocessing of the input image before the forward."""
+        gray = cv2.cvtColor(image_rgb, cv2.COLOR_RGB2GRAY)
+        clahe = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
+        enhanced = clahe.apply(gray)
+        edges = cv2.Canny(enhanced, 50, 150)
+        kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (2, 2))
+        edges = cv2.dilate(edges, kernel, iterations=1)
+        out = image_rgb.astype(np.float32)
+        boost = (edges > 0)[..., None]
+        out = np.where(boost, np.clip(out * 1.2, 0, 255), out)
+        sharpen = np.array([[-1, -1, -1], [-1, 9, -1], [-1, -1, -1]],
+                           np.float32)
+        out = cv2.filter2D(out.astype(np.uint8), -1, sharpen)
+        return out
+
+    # ------------------------------------------------------------------
+    # single-image API (predict.py:303-368) — original-resolution parity
+    # ------------------------------------------------------------------
+    def predict_mask(self, image_path: str,
+                     mask_type: str = "watermark") -> np.ndarray:
+        image = cv2.imread(image_path)
+        if image is None:
+            raise ValueError(f"cannot read image: {image_path}")
+        orig_h, orig_w = image.shape[:2]
+        image_rgb = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
+        if mask_type in ("text", "mixed"):
+            image_rgb = self._enhance_text_features(image_rgb)
+
+        probs = self._infer_prob_map(image_rgb)
+        mask_bin = (cv2.resize(probs, (orig_w, orig_h)) >
+                    self.cfg.PREDICT.THRESHOLD).astype(np.float32)
+        if not self.cfg.PREDICT.POST_PROCESS:
+            return (mask_bin * 255).astype(np.uint8)
+        # optimize on device at the original (padded) resolution
+        padded, (h, w) = pad_to_multiple(mask_bin, 32)
+        opt = maskproc.optimize_mask(jnp.asarray(padded), mask_type)
+        return (np.asarray(opt)[:h, :w] * 255).astype(np.uint8)
+
+    def predict_text_watermark_mask(self, image_path: str) -> np.ndarray:
+        return self.predict_mask(image_path, mask_type="text")
+
+    def predict_mixed_watermark_mask(self, image_path: str) -> np.ndarray:
+        return self.predict_mask(image_path, mask_type="mixed")
+
+    def _infer_prob_map(self, image_rgb: np.ndarray) -> np.ndarray:
+        """Model-resolution (or tiled) probability map for one image."""
+        h, w = image_rgb.shape[:2]
+        s = self.img_size
+        if self.cfg.PREDICT.TILED and min(h, w) >= self.cfg.PREDICT.TILE_SIZE \
+                and max(h, w) > s:
+            padded, (oh, ow) = pad_to_multiple(
+                image_rgb.astype(np.float32) / 255.0, 32,
+                min_size=self.cfg.PREDICT.TILE_SIZE)
+            norm = self._normalize(padded[None])[0]
+            logits = predict_tiled(
+                self._forward, norm, tile=self.cfg.PREDICT.TILE_SIZE,
+                overlap=self.cfg.PREDICT.TILE_OVERLAP,
+                batch=self.cfg.PREDICT.BATCH_SIZE)
+            return np.asarray(jax.nn.sigmoid(logits))[:oh, :ow, 0]
+        resized = cv2.resize(image_rgb, (s, s)).astype(np.float32) / 255.0
+        return self._forward_probs(resized[None])[0]
+
+    # ------------------------------------------------------------------
+    # type detection (predict.py:414-443)
+    # ------------------------------------------------------------------
+    def _detect_watermark_type(self, image_rgb: np.ndarray,
+                               mask_binary: np.ndarray) -> str:
+        try:
+            score = float(maskproc.detect_watermark_type_scores(
+                jnp.asarray(image_rgb, jnp.float32),
+                jnp.asarray((mask_binary > 127).astype(np.float32))))
+            return maskproc.classify_type(score)
+        except Exception as e:  # noqa: BLE001
+            logger.warning("type detection failed (%s); using 'watermark'", e)
+            return "watermark"
+
+    # ------------------------------------------------------------------
+    # STEP 1 (predict.py:560-666) — batched
+    # ------------------------------------------------------------------
+    def step1_batch_predict_watermark_masks(
+            self, input_folder: str, mask_output_folder: str,
+            limit: Optional[int] = None) -> List[dict]:
+        os.makedirs(mask_output_folder, exist_ok=True)
+        image_files = self._get_image_files(input_folder, mask_output_folder,
+                                            limit=limit)
+        if not image_files:
+            logger.warning("no unprocessed images in %s", input_folder)
+            return []
+        logger.info("step1: %d images", len(image_files))
+
+        s = self.img_size
+        bs = self.cfg.PREDICT.BATCH_SIZE
+        processed: List[dict] = []
+
+        for i in range(0, len(image_files), bs):
+            chunk = image_files[i:i + bs]
+            imgs_rgb, sizes, ok_paths = [], [], []
+            for p in chunk:
+                img = cv2.imread(p)
+                if img is None:
+                    logger.error("cannot load %s", p)
+                    continue
+                rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                sizes.append(rgb.shape[:2])
+                imgs_rgb.append(rgb)
+                ok_paths.append(p)
+            if not ok_paths:
+                continue
+            batch = np.stack([
+                cv2.resize(r, (s, s)).astype(np.float32) / 255.0
+                for r in imgs_rgb])
+            if batch.shape[0] < bs:  # static shape
+                batch = np.concatenate(
+                    [batch, np.zeros((bs - batch.shape[0], s, s, 3),
+                                     np.float32)])
+            probs = self._forward_probs(batch)[:len(ok_paths)]
+
+            # type detection + optimization on device at model resolution
+            masks_bin = (probs > self.cfg.PREDICT.THRESHOLD).astype(
+                np.float32)
+            small_rgbs = np.stack([cv2.resize(r, (s, s)) for r in imgs_rgb])
+            types = []
+            for j in range(len(ok_paths)):
+                score = float(maskproc.detect_watermark_type_scores(
+                    jnp.asarray(small_rgbs[j], jnp.float32),
+                    jnp.asarray(masks_bin[j])))
+                types.append(maskproc.classify_type(score))
+            codes = jnp.asarray([maskproc.type_code(t) for t in types])
+            opt = self._optimize_batch(jnp.asarray(masks_bin), codes)
+
+            for j, p in enumerate(ok_paths):
+                oh, ow = sizes[j]
+                mask_full = cv2.resize(
+                    (np.asarray(opt[j]) * 255).astype(np.uint8), (ow, oh),
+                    interpolation=cv2.INTER_NEAREST)
+                stem = os.path.splitext(os.path.basename(p))[0]
+                mask_path = os.path.join(mask_output_folder,
+                                         f"{stem}_mask.png")
+                cv2.imwrite(mask_path, mask_full)
+                wm_px = int((mask_full > 0).sum())
+                if wm_px == 0:
+                    logger.info("no watermark detected, skipping: %s", stem)
+                    continue
+                processed.append({
+                    "image_path": p,
+                    "original_path": p,
+                    "mask_path": mask_path,
+                    "mask_type": types[j],
+                    "watermark_ratio": wm_px / (oh * ow),
+                })
+        logger.info("step1 done: %d with watermark / %d total",
+                    len(processed), len(image_files))
+        return processed
+
+    def _optimize_batch(self, masks: jnp.ndarray,
+                        codes: jnp.ndarray) -> jnp.ndarray:
+        if not hasattr(self, "_opt_vmapped"):
+            self._opt_vmapped = jax.jit(
+                jax.vmap(maskproc.optimize_mask_by_type))
+        return self._opt_vmapped(masks, codes)
+
+    # ------------------------------------------------------------------
+    # batched repair core (predict.py:666-858) — in-process engine
+    # ------------------------------------------------------------------
+    def _batch_inpaint_repair(self, processed_files: List[dict],
+                              output_folder: str, mask_key: str,
+                              model_name: str = "lama",
+                              skip_condition: Optional[str] = None,
+                              skip_threshold: Optional[float] = None,
+                              steps: int = 1) -> List[dict]:
+        os.makedirs(output_folder, exist_ok=True)
+        successful: List[dict] = []
+        to_process: List[dict] = []
+
+        for fi in processed_files:
+            skip = False
+            if skip_condition == "watermark_ratio" and \
+                    skip_threshold is not None:
+                skip = fi.get("watermark_ratio", 1.0) < skip_threshold
+            elif skip_condition == "text_pixels":
+                skip = fi.get("text_pixels", 1) == 0
+            if skip:
+                stem = os.path.splitext(os.path.basename(
+                    fi.get("original_path", fi["image_path"])))[0]
+                out = os.path.join(output_folder, f"{stem}.png")
+                shutil.copy2(fi["image_path"], out)
+                successful.append({**fi, "image_path": out})
+                logger.info("skip repair (below threshold): %s", stem)
+            else:
+                to_process.append(fi)
+        if not to_process:
+            return successful
+
+        engine = get_engine(model_name if self._engine_name is None
+                            else self._engine_name)
+
+        # bucket by padded shape → batch within bucket (static shapes)
+        buckets: Dict[Tuple[int, int], List[dict]] = {}
+        for fi in to_process:
+            img = cv2.imread(fi["image_path"])
+            if img is None:
+                self._fallback_copy(fi, output_folder, successful)
+                continue
+            rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            mask_path = fi.get(mask_key)
+            mask = cv2.imread(mask_path, cv2.IMREAD_GRAYSCALE) \
+                if mask_path else None
+            if mask is None:
+                self._fallback_copy(fi, output_folder, successful)
+                continue
+            if mask.shape[:2] != rgb.shape[:2]:
+                mask = cv2.resize(mask, (rgb.shape[1], rgb.shape[0]),
+                                  interpolation=cv2.INTER_NEAREST)
+            padded_img, orig = pad_to_multiple(
+                rgb.astype(np.float32) / 255.0, 32)
+            padded_mask, _ = pad_to_multiple(
+                (mask > 127).astype(np.float32), 32)
+            key = padded_img.shape[:2]
+            buckets.setdefault(key, []).append(
+                {**fi, "_img": padded_img, "_mask": padded_mask,
+                 "_orig": orig})
+
+        for key, items in buckets.items():
+            bs = max(1, min(len(items), self.cfg.PREDICT.BATCH_SIZE))
+            for i in range(0, len(items), bs):
+                group = items[i:i + bs]
+                imgs = jnp.asarray(np.stack([g["_img"] for g in group]))
+                msks = jnp.asarray(
+                    np.stack([g["_mask"] for g in group]))[..., None]
+                try:
+                    out = imgs
+                    for _ in range(max(1, steps)):
+                        out = engine(out, msks)
+                    out = np.asarray(out)
+                except Exception as e:  # noqa: BLE001
+                    logger.error("inpaint engine failed (%s); copying "
+                                 "originals", e)
+                    for g in group:
+                        self._fallback_copy(g, output_folder, successful)
+                    continue
+                for j, g in enumerate(group):
+                    oh, ow = g["_orig"]
+                    rgb = (np.clip(out[j][:oh, :ow], 0, 1) * 255).astype(
+                        np.uint8)
+                    stem = os.path.splitext(os.path.basename(
+                        g.get("original_path", g["image_path"])))[0]
+                    final = os.path.join(output_folder, f"{stem}.png")
+                    cv2.imwrite(final, cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+                    successful.append(
+                        {k: v for k, v in g.items()
+                         if not k.startswith("_")} | {"image_path": final})
+        return successful
+
+    @staticmethod
+    def _fallback_copy(fi: dict, output_folder: str,
+                       successful: List[dict]) -> None:
+        stem = os.path.splitext(os.path.basename(
+            fi.get("original_path", fi["image_path"])))[0]
+        out = os.path.join(output_folder, f"{stem}.png")
+        try:
+            shutil.copy2(fi["image_path"], out)
+        except Exception as e:  # noqa: BLE001
+            logger.error("fallback copy failed for %s: %s", stem, e)
+            return
+        successful.append({k: v for k, v in fi.items()
+                           if not k.startswith("_")} | {"image_path": out})
+        logger.error("used original as fallback: %s", stem)
+
+    def step2_batch_iopaint_watermark_repair(
+            self, processed_files, step2_output_folder,
+            model_name: str = "lama", timeout: int = 300,
+            steps: int = 1) -> List[dict]:
+        logger.info("step2: watermark repair (%s)", model_name)
+        return self._batch_inpaint_repair(
+            processed_files, step2_output_folder, "mask_path", model_name,
+            skip_condition="watermark_ratio", skip_threshold=0.001,
+            steps=steps)
+
+    # ------------------------------------------------------------------
+    # STEP 3 (predict.py:880-976): OCR text masks
+    # ------------------------------------------------------------------
+    def step3_batch_extract_text_masks(
+            self, processed_files, text_mask_output_folder,
+            ocr_languages=None, ocr_engine: str = "easy") -> List[dict]:
+        os.makedirs(text_mask_output_folder, exist_ok=True)
+        try:
+            from ..ocr import get_ocr_detector
+            detector = get_ocr_detector(ocr_engine)
+        except Exception as e:  # noqa: BLE001
+            logger.error("OCR unavailable: %s", e)
+            return []
+
+        successful = []
+        for fi in processed_files:
+            try:
+                image_path = fi["image_path"]
+                img = cv2.imread(image_path)
+                if img is None:
+                    continue
+                h, w = img.shape[:2]
+                regions = detector.detect_text_regions(
+                    image_path, languages=ocr_languages) \
+                    if ocr_languages else \
+                    detector.detect_text_regions(image_path)
+                text_mask = np.zeros((h, w), np.uint8)
+                for region in regions or []:
+                    bbox = region.get("bbox")
+                    if bbox is None:
+                        continue
+                    if len(bbox) == 4:
+                        x, y, bw, bh = (int(v) for v in bbox)
+                        cv2.rectangle(text_mask, (x, y), (x + bw, y + bh),
+                                      255, -1)
+                    elif len(bbox) == 8:
+                        pts = np.array(bbox).reshape(-1, 2).astype(np.int32)
+                        cv2.fillPoly(text_mask, [pts], 255)
+                if (text_mask > 0).any():
+                    from ..ops import morphology as m
+                    dil = m.dilate(
+                        jnp.asarray((text_mask > 0).astype(np.float32)),
+                        m.ellipse_kernel(5, 5), 2)
+                    text_mask = (np.asarray(dil) * 255).astype(np.uint8)
+                stem = os.path.splitext(os.path.basename(
+                    fi["original_path"]))[0]
+                tm_path = os.path.join(text_mask_output_folder,
+                                       f"{stem}_text_mask.png")
+                cv2.imwrite(tm_path, text_mask)
+                text_pixels = int((text_mask > 0).sum())
+                if text_pixels == 0:
+                    logger.info("no text detected, skipping: %s", stem)
+                    continue
+                successful.append({
+                    "image_path": image_path,
+                    "original_path": fi["original_path"],
+                    "text_mask_path": tm_path,
+                    "text_pixels": text_pixels,
+                    "watermark_ratio": fi.get("watermark_ratio", 0.0),
+                })
+            except Exception as e:  # noqa: BLE001
+                logger.error("OCR failed on %s: %s", fi.get("image_path"), e)
+        logger.info("step3 done: %d with text / %d", len(successful),
+                    len(processed_files))
+        return successful
+
+    def step4_batch_iopaint_text_repair(
+            self, processed_files, final_output_folder,
+            model_name: str = "lama", timeout: int = 600,
+            steps: int = 1) -> List[dict]:
+        logger.info("step4: text repair (%s)", model_name)
+        out = self._batch_inpaint_repair(
+            processed_files, final_output_folder, "text_mask_path",
+            model_name, skip_condition="text_pixels", steps=steps)
+        return [{
+            "original_path": fi["original_path"],
+            "final_path": fi["image_path"],
+            "watermark_ratio": fi.get("watermark_ratio", 0.0),
+            "text_pixels": fi.get("text_pixels", 0),
+        } for fi in out]
+
+    # ------------------------------------------------------------------
+    # STEP 5 (predict.py:1008-1105): merge masks
+    # ------------------------------------------------------------------
+    def merge_masks_for_video(self, step1_results, step3_results,
+                              merged_mask_output_folder) -> List[dict]:
+        os.makedirs(merged_mask_output_folder, exist_ok=True)
+        text_by_stem = {}
+        for fi in step3_results or []:
+            stem = os.path.splitext(os.path.basename(
+                fi["original_path"]))[0]
+            text_by_stem[stem] = fi["text_mask_path"]
+        merged = []
+        for fi in step1_results:
+            try:
+                image_path = fi.get("image_path", fi["original_path"])
+                stem = os.path.splitext(os.path.basename(image_path))[0]
+                wm = cv2.imread(fi["mask_path"], cv2.IMREAD_GRAYSCALE)
+                if wm is None:
+                    continue
+                out = wm.copy()
+                tm_path = text_by_stem.get(stem)
+                if tm_path and os.path.exists(tm_path):
+                    tm = cv2.imread(tm_path, cv2.IMREAD_GRAYSCALE)
+                    if tm is not None:
+                        if tm.shape != wm.shape:
+                            tm = cv2.resize(tm, (wm.shape[1], wm.shape[0]))
+                        out = np.maximum(wm, tm)
+                padded, (h, w) = pad_to_multiple(
+                    (out > 127).astype(np.float32), 32)
+                opt = maskproc.optimize_mask(jnp.asarray(padded),
+                                             "watermark")
+                out_u8 = (np.asarray(opt)[:h, :w] * 255).astype(np.uint8)
+                merged_path = os.path.join(merged_mask_output_folder,
+                                           f"{stem}.png")
+                cv2.imwrite(merged_path, out_u8)
+                px = int((out_u8 > 0).sum())
+                merged.append({
+                    "original_path": image_path,
+                    "watermark_mask_path": fi["mask_path"],
+                    "text_mask_path": tm_path,
+                    "merged_mask_path": merged_path,
+                    "mask_ratio": px / out_u8.size,
+                    "mask_pixels": px,
+                })
+            except Exception as e:  # noqa: BLE001
+                logger.error("mask merge failed: %s", e)
+        return merged
+
+    # ------------------------------------------------------------------
+    # orchestration (predict.py:1107-1331)
+    # ------------------------------------------------------------------
+    def process_folder_batch(self, input_folder: str, output_folder: str,
+                             watermark_model: str = "lama",
+                             text_model: str = "lama",
+                             use_unet: bool = True, use_ocr: bool = True,
+                             ocr_languages=None, ocr_engine: str = "easy",
+                             timeout: int = 300,
+                             save_intermediate: bool = True,
+                             merge_masks: bool = True,
+                             limit: Optional[int] = None,
+                             steps: int = 3) -> Dict:
+        start = time.time()
+        os.makedirs(output_folder, exist_ok=True)
+        if save_intermediate:
+            mask_folder = os.path.join(output_folder, "step1_masks")
+            step2_folder = os.path.join(output_folder,
+                                        "step2_watermark_repaired")
+            text_mask_folder = os.path.join(output_folder,
+                                            "step3_text_masks")
+        else:
+            import tempfile
+            tmp = tempfile.mkdtemp(prefix="batch_watermark_removal_")
+            mask_folder = os.path.join(tmp, "masks")
+            step2_folder = os.path.join(tmp, "step2")
+            text_mask_folder = os.path.join(tmp, "text_masks")
+        final_folder = output_folder
+
+        step3_results: List[dict] = []
+        if use_unet:
+            step1_results = self.step1_batch_predict_watermark_masks(
+                input_folder, mask_folder, limit=limit)
+            if step1_results:
+                step2_results = self.step2_batch_iopaint_watermark_repair(
+                    step1_results, step2_folder, watermark_model, timeout,
+                    steps)
+                if not step2_results:
+                    return {"status": "error",
+                            "message": "step2 failed: watermark repair"}
+            else:
+                step1_results, step2_results = self._passthrough(
+                    input_folder, step2_folder, limit)
+        else:
+            logger.info("skipping UNet detection")
+            step1_results, step2_results = self._passthrough(
+                input_folder, step2_folder, limit)
+            if not step1_results:
+                return {"status": "error", "message": "no images found"}
+
+        if use_ocr:
+            step3_results = self.step3_batch_extract_text_masks(
+                step2_results, text_mask_folder, ocr_languages, ocr_engine)
+            if step3_results:
+                step4_results = self.step4_batch_iopaint_text_repair(
+                    step3_results, final_folder, text_model, timeout, steps)
+                done = {fi["original_path"] for fi in step3_results}
+                for fi in step2_results:
+                    if fi["original_path"] not in done:
+                        stem = os.path.splitext(os.path.basename(
+                            fi["original_path"]))[0]
+                        final = os.path.join(final_folder, f"{stem}.png")
+                        shutil.copy2(fi["image_path"], final)
+                        step4_results.append({
+                            "original_path": fi["original_path"],
+                            "final_path": final,
+                            "watermark_ratio": fi.get("watermark_ratio", 0.0),
+                            "text_pixels": 0,
+                        })
+            else:
+                logger.warning("step3: no text anywhere; copying step2 out")
+                for fi in step2_results:
+                    stem = os.path.splitext(os.path.basename(
+                        fi["original_path"]))[0]
+                    shutil.copy2(fi["image_path"],
+                                 os.path.join(final_folder, f"{stem}.png"))
+                step4_results = step2_results
+        else:
+            for fi in step2_results:
+                stem = os.path.splitext(os.path.basename(
+                    fi["original_path"]))[0]
+                shutil.copy2(fi["image_path"],
+                             os.path.join(final_folder, f"{stem}.png"))
+            step4_results = step2_results
+
+        merged_results = []
+        if merge_masks and step1_results and use_unet:
+            merged_results = self.merge_masks_for_video(
+                step1_results, step3_results,
+                os.path.join(output_folder, "masks"))
+
+        dt = time.time() - start
+        total = len(step1_results)
+        ok = len(step4_results)
+        avg_ratio = (sum(f.get("watermark_ratio", 0) for f in step1_results)
+                     / total if use_unet and total else 0.0)
+        avg_text = (sum(f["text_pixels"] for f in step3_results) /
+                    len(step3_results) if step3_results else 0.0)
+        stats = {
+            "status": "success",
+            "total_images": total,
+            "successful_images": ok,
+            "success_rate": ok / total * 100 if total else 0,
+            "processing_time": dt,
+            "avg_processing_time_per_image": dt / total if total else 0,
+            "avg_watermark_ratio": avg_ratio,
+            "avg_text_pixels": avg_text,
+            "steps_completed": {
+                "step1_mask_prediction": len(step1_results),
+                "step2_watermark_repair": len(step2_results),
+                "step3_text_extraction": len(step3_results),
+                "step4_text_repair": len(step4_results),
+                "merged_masks": len(merged_results),
+            },
+        }
+        logger.info("batch done: %d/%d ok in %.1fs", ok, total, dt)
+        return stats
+
+    def _passthrough(self, input_folder, step2_folder, limit):
+        image_files = self._get_image_files(input_folder, limit=limit)
+        step1, step2 = [], []
+        os.makedirs(step2_folder, exist_ok=True)
+        for p in image_files:
+            stem = os.path.splitext(os.path.basename(p))[0]
+            out = os.path.join(step2_folder, f"{stem}.png")
+            shutil.copy2(p, out)
+            step1.append({"original_path": p, "mask_path": None,
+                          "watermark_ratio": 0.0})
+            step2.append({"original_path": p, "image_path": out,
+                          "watermark_ratio": 0.0})
+        return step1, step2
+
+    # ------------------------------------------------------------------
+    # fused single-graph detect→inpaint (BASELINE north star)
+    # ------------------------------------------------------------------
+    def make_fused_repair_fn(self, inpaint_engine: str = "pushpull",
+                             smooth_iterations: int = 32):
+        """Returns a jitted fn: (N,S,S,3) [0,1] → repaired images; the
+        whole detect→threshold→optimize→inpaint path in ONE XLA graph."""
+        from ..ops.inpaint import inpaint_pushpull
+
+        model = self.model
+        variables = self.variables
+        threshold = self.cfg.PREDICT.THRESHOLD
+
+        @jax.jit
+        def fused(images_01):
+            norm = (images_01 - IMAGENET_MEAN) / IMAGENET_STD
+            logits = model.apply(variables, norm, train=False)
+            probs = jax.nn.sigmoid(logits[..., 0])
+            masks = (probs > threshold).astype(jnp.float32)
+            opt = jax.vmap(maskproc.optimize_watermark_mask)(masks)
+            return inpaint_pushpull(images_01, opt[..., None],
+                                    smooth_iterations=smooth_iterations)
+
+        return fused

@@ -1,0 +1,137 @@
+"""Tiled sliding-window inference with overlap blending + spatial sharding.
+
+The reference has NO high-res path: it squashes any input to IMG_SIZE and
+upscales the mask (/root/reference/src/predict.py:599-625), losing
+resolution — SURVEY.md §5 calls this out as the "long-context" gap, and
+BASELINE.json names "Tiled high-res predict" a headline config. This module
+closes it, TPU-style:
+
+  * the image is cut into overlapping IMG_SIZE tiles (static shapes),
+    all tiles run as ONE batched forward (MXU-friendly), and logits are
+    blended back with a separable Hann window so seams cancel;
+  * for images too large for one chip, `spatial_shards` partitions rows of
+    tiles across the mesh's data axis — each device computes its tile rows
+    (halo comes free from tile overlap), the blend is a single
+    psum-style scatter-add — the image-domain analog of sequence
+    parallelism.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def plan_tiles(h: int, w: int, tile: int, overlap: int):
+    """Static tile grid covering (h, w); last tiles clamp to the border."""
+    stride = tile - overlap
+    ys = list(range(0, max(h - tile, 0) + 1, stride))
+    xs = list(range(0, max(w - tile, 0) + 1, stride))
+    if not ys or ys[-1] + tile < h:
+        ys.append(max(h - tile, 0))
+    if not xs or xs[-1] + tile < w:
+        xs.append(max(w - tile, 0))
+    return [(y, x) for y in ys for x in xs]
+
+
+@functools.lru_cache(maxsize=16)
+def _hann2d(tile: int) -> np.ndarray:
+    wx = np.hanning(tile + 2)[1:-1]
+    win = np.outer(wx, wx).astype(np.float32)
+    return np.maximum(win, 1e-3)
+
+
+def predict_tiled(forward: Callable[[Array], Array], image: Array,
+                  tile: int = 512, overlap: int = 64,
+                  batch: int = 8) -> Array:
+    """Sliding-window logits for one (H,W,3) image.
+
+    forward: jitted (N,tile,tile,3)→(N,tile,tile,1) logits fn.
+    Returns (H,W,1) blended logits at FULL resolution. H, W >= tile.
+    """
+    h, w = image.shape[0], image.shape[1]
+    if h < tile or w < tile:
+        raise ValueError(f"image {h}x{w} smaller than tile {tile}")
+    coords = plan_tiles(h, w, tile, overlap)
+    tiles = jnp.stack([
+        jax.lax.dynamic_slice(image, (y, x, 0), (tile, tile, 3))
+        for (y, x) in coords])
+
+    # batched forward over all tiles (pad to batch multiple)
+    n = tiles.shape[0]
+    pad = (-n) % batch
+    if pad:
+        tiles = jnp.concatenate([tiles, jnp.zeros((pad, tile, tile, 3),
+                                                  tiles.dtype)])
+    outs = []
+    for i in range(0, n + pad, batch):
+        outs.append(forward(tiles[i:i + batch]))
+    logits = jnp.concatenate(outs)[:n]
+
+    win = jnp.asarray(_hann2d(tile))[:, :, None]
+    acc = jnp.zeros((h, w, 1), jnp.float32)
+    wacc = jnp.zeros((h, w, 1), jnp.float32)
+    for t, (y, x) in enumerate(coords):
+        acc = jax.lax.dynamic_update_slice(
+            acc, jax.lax.dynamic_slice(acc, (y, x, 0), (tile, tile, 1)) +
+            logits[t].astype(jnp.float32) * win, (y, x, 0))
+        wacc = jax.lax.dynamic_update_slice(
+            wacc, jax.lax.dynamic_slice(wacc, (y, x, 0), (tile, tile, 1)) +
+            win, (y, x, 0))
+    return acc / jnp.maximum(wacc, 1e-8)
+
+
+def pad_to_multiple(image: np.ndarray, multiple: int = 32,
+                    min_size: int = None) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Reflect-pad (H,W,C) so H, W are multiples and >= min_size; returns
+    (padded, original (h, w))."""
+    h, w = image.shape[:2]
+    th = max(-(-h // multiple) * multiple, min_size or 0)
+    tw = max(-(-w // multiple) * multiple, min_size or 0)
+    if th == h and tw == w:
+        return image, (h, w)
+    # np.pad reflect requires pad < dim; fall back to edge for tiny images
+    mode = "reflect" if th - h < h and tw - w < w else "edge"
+    pad = [(0, th - h), (0, tw - w)] + [(0, 0)] * (image.ndim - 2)
+    return np.pad(image, pad, mode=mode), (h, w)
+
+
+def predict_tiled_sharded(forward: Callable[[Array], Array], image: Array,
+                          mesh, tile: int = 512, overlap: int = 64) -> Array:
+    """Spatially-sharded tiled inference over the mesh's data axis.
+
+    Tiles are distributed across devices by stacking them into one global
+    batch sharded on the leading axis — XLA runs each device's tiles
+    locally and the final blend gathers once. With tile overlap >= the
+    receptive-field halo, no inter-device halo exchange is needed beyond
+    the shared input broadcast.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    h, w = image.shape[0], image.shape[1]
+    coords = plan_tiles(h, w, tile, overlap)
+    n = len(coords)
+    ndev = mesh.devices.size
+    pad = (-n) % ndev
+    tiles = np.stack([np.asarray(image[y:y + tile, x:x + tile, :])
+                      for (y, x) in coords])
+    if pad:
+        tiles = np.concatenate([tiles, np.zeros((pad, tile, tile, 3),
+                                                tiles.dtype)])
+    sharded = jax.device_put(
+        tiles, NamedSharding(mesh, P(mesh.axis_names[0], None, None, None)))
+    logits = forward(sharded)[:n]
+
+    win = jnp.asarray(_hann2d(tile))[:, :, None]
+    acc = jnp.zeros((h, w, 1), jnp.float32)
+    wacc = jnp.zeros((h, w, 1), jnp.float32)
+    for t, (y, x) in enumerate(coords):
+        acc = acc.at[y:y + tile, x:x + tile, :].add(
+            logits[t].astype(jnp.float32) * win)
+        wacc = wacc.at[y:y + tile, x:x + tile, :].add(win)
+    return acc / jnp.maximum(wacc, 1e-8)
