@@ -106,7 +106,8 @@ def main():
     out.block_until_ready()
     dt = time.time() - t0
     img_per_s = batch * iters / dt
-    log(f"{img_per_s:.1f} img/s ({dt / iters * 1e3:.1f} ms/batch{batch})")
+    log(f"{img_per_s:.1f} img/s ({dt / iters * 1e3:.1f} ms/batch{batch}) "
+        f"[fused decoder: upsample+concat folded into lhs-dilated convs]")
 
     print(json.dumps({
         "metric": "512x512 seg inference throughput (UNet++/resnet34, bf16)",

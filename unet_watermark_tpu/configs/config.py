@@ -37,6 +37,7 @@ class ModelConfig:
     DTYPE: str = "bfloat16"          # compute dtype for the forward pass
     PARAM_DTYPE: str = "float32"     # parameter storage dtype
     REMAT: bool = False              # jax.checkpoint over encoder stages
+    FUSED_DECODER: bool = True       # fold upsample+concat into the conv
 
 
 @dataclass

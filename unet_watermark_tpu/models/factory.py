@@ -29,6 +29,7 @@ class SegmentationModel(nn.Module):
     activation: Optional[str] = None
     dtype: Dtype = jnp.bfloat16
     remat: bool = False
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -43,20 +44,23 @@ class SegmentationModel(nn.Module):
         encoder = get_encoder(self.encoder_name, dtype=self.dtype,
                               remat=self.remat)
         feats = encoder.copy(name="encoder")(x, train)
-        decoder = _make_decoder(self.arch, self.decoder_channels, self.dtype)
+        decoder = _make_decoder(self.arch, self.decoder_channels,
+                                self.dtype, self.fused)
         y = decoder.copy(name="decoder")(feats, train)
         y = SegmentationHead(classes=self.classes, activation=self.activation,
                              dtype=self.dtype, name="segmentation_head")(y)
         return y
 
 
-def _make_decoder(arch: str, decoder_channels: Sequence[int], dtype: Dtype):
+def _make_decoder(arch: str, decoder_channels: Sequence[int], dtype: Dtype,
+                  fused: bool = True):
     arch_l = arch.lower()
     if arch_l == "unet":
-        return UnetDecoder(decoder_channels=tuple(decoder_channels), dtype=dtype)
+        return UnetDecoder(decoder_channels=tuple(decoder_channels),
+                           dtype=dtype, fused=fused)
     if arch_l in ("unetplusplus", "unet++"):
         return UnetPlusPlusDecoder(decoder_channels=tuple(decoder_channels),
-                                   dtype=dtype)
+                                   dtype=dtype, fused=fused)
     # Families implemented in archs.py (imported lazily to avoid cycles).
     from . import archs
     return archs.make_decoder(arch_l, decoder_channels, dtype)
@@ -91,6 +95,7 @@ class SMPModelFactory:
                      activation: Optional[str] = None,
                      dtype: Dtype = jnp.bfloat16,
                      remat: bool = False,
+                     fused: bool = True,
                      **kwargs) -> SegmentationModel:
         if model_name not in SUPPORTED_MODELS:
             raise ValueError(
@@ -107,6 +112,7 @@ class SMPModelFactory:
             activation=activation,
             dtype=dtype,
             remat=remat,
+            fused=fused,
         )
 
     @staticmethod
@@ -126,6 +132,7 @@ def create_model_from_config(cfg) -> SegmentationModel:
         activation=cfg.MODEL.ACTIVATION,
         dtype=jnp.dtype(cfg.MODEL.DTYPE),
         remat=cfg.MODEL.REMAT,
+        fused=cfg.MODEL.FUSED_DECODER,
     )
 
 

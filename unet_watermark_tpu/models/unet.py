@@ -37,6 +37,85 @@ def upsample2x(x: jax.Array) -> jax.Array:
     return x.reshape(n, h * 2, w * 2, c)
 
 
+def fuse_up_kernel(w3: jax.Array) -> jax.Array:
+    """Fold nearest-2x upsampling into a 3x3 conv kernel.
+
+    nearest-up is itself a correlation of the zero-dilated input with
+    ones(2,2); composing the two correlations gives a single 4x4 kernel
+    K[a,b] = Σ_{da,db∈{0,1}} W[a-da, b-db] applied with lhs_dilation=2 and
+    padding (2,2) — so conv(nearest_up(x), W, pad=1) runs as ONE conv with
+    no upsampled tensor ever materialized. This is the HBM-bandwidth fix
+    for the decoder's high-resolution stages (they are bandwidth-bound at
+    16-64 channels, far below the MXU's 128 lanes).
+    """
+    k = jnp.zeros((4, 4) + w3.shape[2:], w3.dtype)
+    for da in (0, 1):
+        for db in (0, 1):
+            k = k.at[da:da + 3, db:db + 3].add(w3)
+    return k
+
+
+def up_conv(x_low: jax.Array, w3: jax.Array) -> jax.Array:
+    """conv3x3(nearest_up2x(x_low), w3, SAME) as one lhs-dilated conv."""
+    k = fuse_up_kernel(w3)
+    return jax.lax.conv_general_dilated(
+        x_low, k, (1, 1), [(2, 2), (2, 2)], lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class SplitUpConcatConv(nn.Module):
+    """Conv over concat(skips..., nearest_up(x_low)) without materializing
+    either the upsample or the concat.
+
+    Parameter layout matches nn.Conv(use_bias=False) over the concatenated
+    input — kernel (3,3,Cskip+Cin,Cout) with the skip channels first — so
+    checkpoints are interchangeable with the naive path. The concat
+    decomposes as a sum of convs; the upsampled operand uses the fused
+    lhs-dilated kernel (see fuse_up_kernel).
+    """
+
+    channels: int
+    dtype: Any = jnp.bfloat16
+    up_first: bool = False  # kernel channel order: [Cin|Cs] vs [Cs|Cin]
+
+    @nn.compact
+    def __call__(self, x_low, skip_cat: Optional[jax.Array]):
+        cin = x_low.shape[-1]
+        cs = 0 if skip_cat is None else skip_cat.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cs + cin, self.channels), jnp.float32).astype(self.dtype)
+        if self.up_first:
+            wx, ws = kernel[:, :, :cin], kernel[:, :, cin:]
+        else:
+            ws, wx = kernel[:, :, :cs], kernel[:, :, cs:]
+        y = up_conv(x_low.astype(self.dtype), wx)
+        if cs:
+            y = y + jax.lax.conv_general_dilated(
+                skip_cat.astype(self.dtype), ws, (1, 1),
+                [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y
+
+
+class FusedUpConvBnRelu(nn.Module):
+    """Drop-in ConvBnRelu for (up2x + concat + conv) heads — same param
+    tree (conv/kernel, bn/*) as ConvBnRelu over the naive path."""
+
+    channels: int
+    dtype: Any = jnp.bfloat16
+    up_first: bool = False
+
+    @nn.compact
+    def __call__(self, x_low, skip_cat, train: bool = False):
+        y = SplitUpConcatConv(self.channels, dtype=self.dtype,
+                              up_first=self.up_first,
+                              name="conv")(x_low, skip_cat)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(y)
+        return nn.relu(y)
+
+
 class ConvBnRelu(nn.Module):
     channels: int
     kernel: int = 3
@@ -54,17 +133,29 @@ class ConvBnRelu(nn.Module):
 
 
 class DecoderBlock(nn.Module):
-    """SMP-style decoder block: up2x → concat skip → (conv-bn-relu) x2."""
+    """SMP-style decoder block: up2x → concat skip → (conv-bn-relu) x2.
+
+    With fused=True (default) the first conv runs through
+    FusedUpConvBnRelu — mathematically identical, same parameter tree, but
+    the upsampled/concatenated intermediates never hit HBM.
+    """
 
     channels: int
     dtype: Dtype = jnp.bfloat16
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x, skip: Optional[jax.Array] = None, train: bool = False):
-        x = upsample2x(x)
-        if skip is not None:
-            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-        x = ConvBnRelu(self.channels, dtype=self.dtype, name="conv1")(x, train)
+        if self.fused:
+            x = FusedUpConvBnRelu(self.channels, dtype=self.dtype,
+                                  up_first=True, name="conv1")(
+                                      x, skip, train)
+        else:
+            x = upsample2x(x)
+            if skip is not None:
+                x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+            x = ConvBnRelu(self.channels, dtype=self.dtype,
+                           name="conv1")(x, train)
         x = ConvBnRelu(self.channels, dtype=self.dtype, name="conv2")(x, train)
         return x
 
@@ -79,6 +170,7 @@ class UnetDecoder(nn.Module):
 
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     dtype: Dtype = jnp.bfloat16
+    fused: bool = True
 
     @nn.compact
     def __call__(self, feats: List[jax.Array], train: bool = False):
@@ -86,8 +178,8 @@ class UnetDecoder(nn.Module):
         skips = [feats[4], feats[3], feats[2], feats[1], None]
         x = feats[5]
         for i, ch in enumerate(self.decoder_channels):
-            x = DecoderBlock(ch, dtype=self.dtype, name=f"block{i}")(
-                x, skips[i], train)
+            x = DecoderBlock(ch, dtype=self.dtype, fused=self.fused,
+                             name=f"block{i}")(x, skips[i], train)
         return x
 
 
@@ -105,6 +197,7 @@ class UnetPlusPlusDecoder(nn.Module):
 
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     dtype: Dtype = jnp.bfloat16
+    fused: bool = True
 
     @nn.compact
     def __call__(self, feats: List[jax.Array], train: bool = False):
@@ -116,16 +209,27 @@ class UnetPlusPlusDecoder(nn.Module):
                   self.decoder_channels[1], self.decoder_channels[0]]
         for j in range(1, 5):                 # columns
             for i in range(0, 5 - j):         # rows
-                below = upsample2x(grid[(i + 1, j - 1)])
-                cats = [grid[(i, k)].astype(below.dtype) for k in range(j)]
-                x = jnp.concatenate(cats + [below], axis=-1)
-                x = ConvBnRelu(row_ch[i], dtype=self.dtype,
-                               name=f"x_{i}_{j}_conv1")(x, train)
+                below = grid[(i + 1, j - 1)]
+                cats = [grid[(i, k)] for k in range(j)]
+                if self.fused:
+                    skip_cat = jnp.concatenate(
+                        [c.astype(self.dtype) for c in cats], axis=-1) \
+                        if len(cats) > 1 else cats[0]
+                    x = FusedUpConvBnRelu(
+                        row_ch[i], dtype=self.dtype, up_first=False,
+                        name=f"x_{i}_{j}_conv1")(below, skip_cat, train)
+                else:
+                    up = upsample2x(below)
+                    x = jnp.concatenate(
+                        [c.astype(up.dtype) for c in cats] + [up], axis=-1)
+                    x = ConvBnRelu(row_ch[i], dtype=self.dtype,
+                                   name=f"x_{i}_{j}_conv1")(x, train)
                 x = ConvBnRelu(row_ch[i], dtype=self.dtype,
                                name=f"x_{i}_{j}_conv2")(x, train)
                 grid[(i, j)] = x
         # final skip-less upsample block to stride 1
         x = DecoderBlock(self.decoder_channels[4], dtype=self.dtype,
+                         fused=self.fused,
                          name="final_block")(grid[(0, 4)], None, train)
         return x
 

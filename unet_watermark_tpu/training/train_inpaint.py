@@ -1,0 +1,212 @@
+"""Inpainting-model training (LaMa-style FFC generator).
+
+No direct reference counterpart — the reference downloads pretrained LaMa
+weights through iopaint at runtime (/root/reference/src/predict.py:771),
+which a zero-egress TPU pod cannot. This trainer produces those weights
+in-framework: self-supervised inpainting on any clean-image folder with
+LaMa's random mask protocol (irregular strokes + rectangles), L1 +
+high-receptive-field perceptual-proxy (gradient) losses, bf16 on the MXU.
+
+Usage:
+    python -m unet_watermark_tpu.training.train_inpaint \
+        --clean-dir data/clean --output models/lama_ckpt --steps 2000
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# LaMa-style random masks (strokes + boxes), generated on device
+# ---------------------------------------------------------------------------
+
+def random_mask_batch(key: jax.Array, n: int, size: int,
+                      max_boxes: int = 3, max_strokes: int = 4) -> jax.Array:
+    """(N, size, size, 1) random hole masks: rectangles + thick line
+    strokes, 5-35% coverage typical (the big-lama mask recipe shape)."""
+    ys = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
+
+    def one(key):
+        mask = jnp.zeros((size, size), jnp.float32)
+        keys = jax.random.split(key, max_boxes + max_strokes + 1)
+        # rectangles
+        for i in range(max_boxes):
+            k = jax.random.split(keys[i], 5)
+            use = jax.random.uniform(k[0]) < 0.7
+            bw = jax.random.randint(k[1], (), size // 8, size // 3)
+            bh = jax.random.randint(k[2], (), size // 8, size // 3)
+            x0 = jax.random.randint(k[3], (), 0, size - size // 3)
+            y0 = jax.random.randint(k[4], (), 0, size - size // 3)
+            box = ((ys >= y0) & (ys < y0 + bh) &
+                   (xs >= x0) & (xs < x0 + bw)).astype(jnp.float32)
+            mask = jnp.maximum(mask, box * use)
+        # strokes: thick line segments via distance-to-segment
+        for i in range(max_strokes):
+            k = jax.random.split(keys[max_boxes + i], 6)
+            use = jax.random.uniform(k[0]) < 0.6
+            x0 = jax.random.uniform(k[1], minval=0.0, maxval=float(size))
+            y0 = jax.random.uniform(k[2], minval=0.0, maxval=float(size))
+            ang = jax.random.uniform(k[3], minval=0.0, maxval=2 * np.pi)
+            ln = jax.random.uniform(k[4], minval=size / 8, maxval=size / 2)
+            wd = jax.random.uniform(k[5], minval=size / 64, maxval=size / 16)
+            x1 = x0 + jnp.cos(ang) * ln
+            y1 = y0 + jnp.sin(ang) * ln
+            px = xs.astype(jnp.float32)
+            py = ys.astype(jnp.float32)
+            dx, dy = x1 - x0, y1 - y0
+            t = jnp.clip(((px - x0) * dx + (py - y0) * dy) /
+                         jnp.maximum(dx * dx + dy * dy, 1e-6), 0, 1)
+            dist = jnp.sqrt((px - (x0 + t * dx)) ** 2 +
+                            (py - (y0 + t * dy)) ** 2)
+            mask = jnp.maximum(mask, (dist < wd).astype(jnp.float32) * use)
+        return mask[..., None]
+
+    return jax.vmap(one)(jax.random.split(key, n))
+
+
+def _gradient(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    return x[:, 1:, :, :] - x[:, :-1, :, :], x[:, :, 1:, :] - x[:, :, :-1, :]
+
+
+def inpaint_loss(pred: jax.Array, target: jax.Array,
+                 mask: jax.Array) -> jax.Array:
+    """L1 (hole-weighted) + gradient-consistency loss."""
+    hole_w = 1.0 + 9.0 * mask  # focus on the hole
+    l1 = jnp.mean(jnp.abs(pred - target) * hole_w)
+    gy_p, gx_p = _gradient(pred)
+    gy_t, gx_t = _gradient(target)
+    grad = jnp.mean(jnp.abs(gy_p - gy_t)) + jnp.mean(jnp.abs(gx_p - gx_t))
+    return l1 + 0.5 * grad
+
+
+# ---------------------------------------------------------------------------
+# trainer
+# ---------------------------------------------------------------------------
+
+def load_clean_batches(clean_dir: str, batch: int, size: int,
+                       seed: int = 0) -> Iterator[np.ndarray]:
+    """Endless host iterator of (batch, size, size, 3) float [0,1] crops."""
+    import cv2
+
+    files = sorted(
+        os.path.join(clean_dir, f) for f in os.listdir(clean_dir)
+        if f.lower().endswith((".jpg", ".jpeg", ".png", ".webp")))
+    if not files:
+        raise FileNotFoundError(f"no images in {clean_dir}")
+    rng = np.random.default_rng(seed)
+    while True:
+        out = []
+        for _ in range(batch):
+            p = files[rng.integers(len(files))]
+            img = cv2.imread(p)
+            if img is None:
+                continue
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            h, w = img.shape[:2]
+            if min(h, w) < size:
+                img = cv2.resize(img, (max(size, w), max(size, h)))
+                h, w = img.shape[:2]
+            y0 = rng.integers(0, h - size + 1)
+            x0 = rng.integers(0, w - size + 1)
+            out.append(img[y0:y0 + size, x0:x0 + size].astype(
+                np.float32) / 255.0)
+        while len(out) < batch:
+            out.append(out[-1])
+        yield np.stack(out)
+
+
+def train_inpaint(clean_dir: str, output_dir: str,
+                  variant: str = "lama", img_size: int = 256,
+                  batch_size: int = 8, steps: int = 2000,
+                  lr: float = 2e-4, seed: int = 0,
+                  log_every: int = 50) -> Dict:
+    from ..models.lama import create_lama, init_lama
+
+    model = create_lama(variant)
+    variables = init_lama(model, img_size=img_size, seed=seed)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, images, key):
+        masks = random_mask_batch(key, images.shape[0], img_size)
+
+        def loss_of(p):
+            out, mutated = model.apply(
+                {"params": p, "batch_stats": batch_stats}, images, masks,
+                train=True, mutable=["batch_stats"])
+            return inpaint_loss(out, images, masks), \
+                mutated["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_bs, new_opt, loss
+
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    key = jax.random.PRNGKey(seed)
+    batches = load_clean_batches(clean_dir, batch_size, img_size, seed)
+    history = []
+    t0 = time.time()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        images = jnp.asarray(next(batches))
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, images, sub)
+        if (i + 1) % log_every == 0:
+            lv = float(loss)
+            history.append(lv)
+            rate = (i + 1) * batch_size / (time.time() - t0)
+            logger.info("step %d: loss=%.4f (%.1f img/s)", i + 1, lv, rate)
+
+    # save as an orbax checkpoint loadable by inference/engines.py
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(output_dir)
+    ckptr = ocp.StandardCheckpointer()
+    if os.path.exists(path):
+        import shutil
+        shutil.rmtree(path)
+    ckptr.save(path, {"params": params, "batch_stats": batch_stats})
+    ckptr.wait_until_finished()
+    logger.info("inpaint weights saved: %s", path)
+    return {"final_loss": history[-1] if history else None,
+            "history": history, "checkpoint": path}
+
+
+def main(argv=None):
+    from ..utils.jaxtools import enable_compile_cache
+
+    logging.basicConfig(level=logging.INFO)
+    enable_compile_cache()
+    p = argparse.ArgumentParser(description="train FFC inpainting model")
+    p.add_argument("--clean-dir", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--variant", default="lama",
+                   choices=["lama", "big-lama", "mat"])
+    p.add_argument("--img-size", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--lr", type=float, default=2e-4)
+    args = p.parse_args(argv)
+    r = train_inpaint(args.clean_dir, args.output, args.variant,
+                      args.img_size, args.batch_size, args.steps, args.lr)
+    print({"final_loss": r["final_loss"], "checkpoint": r["checkpoint"]})
+
+
+if __name__ == "__main__":
+    main()
