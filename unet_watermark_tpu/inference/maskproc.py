@@ -67,6 +67,27 @@ def optimize_mask(mask: Array, mask_type: str = "watermark") -> Array:
     return optimize_watermark_mask(mask)
 
 
+def optimize_watermark_mask_batch_pallas(masks: Array) -> Array:
+    """Batched watermark-mask optimization with the Pallas VMEM-resident
+    morphology chain (ops/pallas/morph_chain.py): the whole open/close/
+    dilate sequence runs on-chip in one kernel instead of ~14 HBM-round-
+    trip convs; the connected-component stage stays XLA (global iterative)
+    and the final Gaussian+threshold is a second VMEM kernel.
+
+    masks: (N, S, S) binary. Output matches optimize_watermark_mask
+    exactly (tested).
+    """
+    from ..ops.pallas.morph_chain import (
+        gaussian_smooth_threshold,
+        morph_chain_watermark,
+    )
+
+    x = morph_chain_watermark(masks)
+    x = jax.vmap(lambda mk: cc.keep_largest_component(
+        mk, min_keep_area=500, fallback_min_area=200))(x)
+    return gaussian_smooth_threshold(x)
+
+
 # Pre-jitted per-type single-image variants (one compile per shape).
 optimize_watermark_mask_jit = jax.jit(optimize_watermark_mask)
 optimize_text_mask_jit = jax.jit(optimize_text_mask)

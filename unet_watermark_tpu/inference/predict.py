@@ -196,6 +196,21 @@ class WatermarkPredictor:
         # optimize on device at the original (padded) resolution
         padded, (h, w) = pad_to_multiple(mask_bin, 32)
         opt = maskproc.optimize_mask(jnp.asarray(padded), mask_type)
+        if self.cfg.PREDICT.EDGE_REFINEMENT:
+            # soften + re-threshold against the prob map so edges follow
+            # the network's confidence rather than morphology artifacts
+            # (unet_text_watermark.yaml:88 EDGE_REFINEMENT)
+            from ..ops import morphology as m
+            soft = m.gaussian_blur(opt, (5, 5), 1.5)
+            probs_pad, _ = pad_to_multiple(
+                cv2.resize(probs, (orig_w, orig_h)), 32)
+            opt = m.threshold_binary(
+                soft * (0.5 + jnp.asarray(probs_pad)), 0.5)
+        if self.cfg.PREDICT.CONNECTIVITY_CHECK:
+            from ..ops import components as cc
+            opt = cc.filter_components_by_area(
+                opt, min_area=self.cfg.TEXT_WATERMARK.MIN_COMPONENT_AREA,
+                connectivity=self.cfg.TEXT_WATERMARK.CONNECTIVITY)
         return (np.asarray(opt)[:h, :w] * 255).astype(np.uint8)
 
     def predict_text_watermark_mask(self, image_path: str) -> np.ndarray:
@@ -205,7 +220,13 @@ class WatermarkPredictor:
         return self.predict_mask(image_path, mask_type="mixed")
 
     def _infer_prob_map(self, image_rgb: np.ndarray) -> np.ndarray:
-        """Model-resolution (or tiled) probability map for one image."""
+        """Model-resolution (or tiled) probability map for one image.
+
+        With PREDICT.MULTI_SCALE_TEST, runs the forward at each
+        PREDICT.TEST_SCALES factor of the model resolution and averages
+        the maps (unet_text_watermark.yaml:85-87) — one extra compile per
+        distinct scale, all batched shapes stay static.
+        """
         h, w = image_rgb.shape[:2]
         s = self.img_size
         if self.cfg.PREDICT.TILED and min(h, w) >= self.cfg.PREDICT.TILE_SIZE \
@@ -219,8 +240,18 @@ class WatermarkPredictor:
                 overlap=self.cfg.PREDICT.TILE_OVERLAP,
                 batch=self.cfg.PREDICT.BATCH_SIZE)
             return np.asarray(jax.nn.sigmoid(logits))[:oh, :ow, 0]
-        resized = cv2.resize(image_rgb, (s, s)).astype(np.float32) / 255.0
-        return self._forward_probs(resized[None])[0]
+        scales = (list(self.cfg.PREDICT.TEST_SCALES)
+                  if self.cfg.PREDICT.MULTI_SCALE_TEST else [1.0])
+        acc = np.zeros((s, s), np.float32)
+        for scale in scales:
+            side = max(int(round(s * scale / 32)) * 32, 32)
+            resized = cv2.resize(image_rgb, (side, side)).astype(
+                np.float32) / 255.0
+            probs = self._forward_probs(resized[None])[0]
+            if side != s:
+                probs = cv2.resize(probs, (s, s))
+            acc += probs
+        return acc / len(scales)
 
     # ------------------------------------------------------------------
     # type detection (predict.py:414-443)

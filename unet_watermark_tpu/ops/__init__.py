@@ -1,3 +1,4 @@
-from . import components, losses, metrics, morphology
+from . import augment, components, inpaint, losses, metrics, morphology
 
-__all__ = ["components", "losses", "metrics", "morphology"]
+__all__ = ["augment", "components", "inpaint", "losses", "metrics",
+           "morphology"]

@@ -1,3 +1,8 @@
+from .distributed import (
+    initialize,
+    make_slice_aware_mesh,
+    process_batch_slice,
+)
 from .mesh import (
     batch_sharding,
     local_batch_size,
@@ -16,4 +21,7 @@ __all__ = [
     "pad_batch_to",
     "replicated",
     "shard_batch",
+    "initialize",
+    "make_slice_aware_mesh",
+    "process_batch_slice",
 ]

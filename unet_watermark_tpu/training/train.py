@@ -43,12 +43,23 @@ logger = logging.getLogger(__name__)
 # jitted steps
 # ---------------------------------------------------------------------------
 
+def _to_float(batch):
+    """Batches arrive as uint8 (4x smaller H2D copies); scale on device."""
+    images = batch["image"]
+    masks = batch["mask"]
+    if jnp.issubdtype(images.dtype, jnp.integer):
+        images = images.astype(jnp.float32) / 255.0
+    if jnp.issubdtype(masks.dtype, jnp.integer):
+        masks = masks.astype(jnp.float32)
+    return images, masks
+
+
 def make_train_step(model, loss_fn, policy_name: str, donate: bool = True):
     """Build the fused train step: augment → bf16 fwd/bwd → update → metrics."""
 
     def step(state: TrainState, batch, rng):
-        images, masks = aug.augment_batch(
-            rng, batch["image"], batch["mask"], policy_name)
+        images, masks = _to_float(batch)
+        images, masks = aug.augment_batch(rng, images, masks, policy_name)
         valid = batch["valid"]
         n = images.shape[0]
         # neutralize padded samples: saturated-negative logits on zero
@@ -76,8 +87,8 @@ def make_train_step(model, loss_fn, policy_name: str, donate: bool = True):
 
 def make_eval_step(model, loss_fn, threshold: float = 0.5):
     def step(state: TrainState, batch):
-        images = aug.val_preprocess(batch["image"])
-        masks = batch["mask"]
+        images, masks = _to_float(batch)
+        images = aug.val_preprocess(images)
         valid = batch["valid"]
         n = images.shape[0]
         vmask = valid.reshape((n,) + (1,) * 3)
