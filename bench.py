@@ -109,6 +109,27 @@ def main():
     log(f"{img_per_s:.1f} img/s ({dt / iters * 1e3:.1f} ms/batch{batch}) "
         f"[fused decoder: upsample+concat folded into lhs-dilated convs]")
 
+    # secondary: fused detect→optimize→inpaint e2e (BASELINE "mask+repair
+    # e2e latency per image"; CPU-LaMa reference is ~2-10 s/img)
+    try:
+        from unet_watermark_tpu.inference.predict import WatermarkPredictor
+
+        predictor = WatermarkPredictor(model_path=None, config=cfg)
+        predictor.variables = variables  # reuse initialized weights
+        fused = predictor.make_fused_repair_fn(smooth_iterations=16)
+        xb = x[:16] / 1.0
+        fused(xb).block_until_ready()
+        t0 = time.time()
+        for _ in range(5):
+            out2 = fused(xb)
+        out2.block_until_ready()
+        per_img_ms = (time.time() - t0) / 5 / 16 * 1e3
+        log(f"fused mask+inpaint e2e: {per_img_ms:.1f} ms/img "
+            f"({16e3 / per_img_ms / 1e3 * 1e3:.0f} img/s) — "
+            f"vs CPU-LaMa ~2000-10000 ms/img")
+    except Exception as e:  # noqa: BLE001
+        log(f"fused e2e bench skipped: {e}")
+
     print(json.dumps({
         "metric": "512x512 seg inference throughput (UNet++/resnet34, bf16)",
         "value": round(img_per_s, 1),

@@ -117,3 +117,24 @@ def test_empty_mask_scores_zero():
     s = float(maskproc.detect_watermark_type_scores(
         jnp.asarray(img), jnp.asarray(mask)))
     assert s == 0.0
+
+
+def test_batched_dispatch_matches_unbatched():
+    """Regression: the batched per-type optimizer must equal per-image
+    results (vmap(lax.switch(while_loop)) miscompiled on TPU — the batch
+    path now computes all strategies and selects)."""
+    rng = np.random.default_rng(7)
+    masks = np.zeros((3, 96, 96), np.float32)
+    for i in range(3):
+        for _ in range(4):
+            y, x = rng.integers(5, 70, 2)
+            masks[i, y:y + 12, x:x + 18] = 1.0
+    codes = jnp.asarray([0, 1, 2])
+    batched = np.asarray(maskproc.optimize_mask_batch_by_type(
+        jnp.asarray(masks), codes))
+    fns = [maskproc.optimize_watermark_mask, maskproc.optimize_text_mask,
+           maskproc.optimize_mixed_mask]
+    for i, fn in enumerate(fns):
+        single = np.asarray(fn(jnp.asarray(masks[i])))
+        np.testing.assert_array_equal(batched[i], single)
+        assert batched[i].mean() > 0  # not silently zeroed

@@ -96,15 +96,35 @@ optimize_mixed_mask_jit = jax.jit(optimize_mixed_mask)
 
 @functools.partial(jax.jit, static_argnames=())
 def optimize_mask_by_type(mask: Array, type_code: Array) -> Array:
-    """Branchless per-image dispatch for batched pipelines: computes the
-    strategy selected by type_code (0=watermark, 1=text, 2=mixed) via
-    lax.switch — one compiled graph handles a mixed-type batch under vmap.
+    """Per-image dispatch (0=watermark, 1=text, 2=mixed) via lax.switch.
+
+    Single-image only: do NOT vmap this — lax.switch over branches that
+    contain the label-propagation while_loop miscompiles under vmap on
+    TPU (observed: all-zero outputs for batch >= 2). Batched pipelines
+    use optimize_mask_batch_by_type below.
     """
     mask = m.threshold_binary(mask, 0.5)
     return jax.lax.switch(
         type_code,
         [optimize_watermark_mask, optimize_text_mask, optimize_mixed_mask],
         mask)
+
+
+@jax.jit
+def optimize_mask_batch_by_type(masks: Array, codes: Array) -> Array:
+    """Batched per-type optimization: run all three strategies vmapped
+    over the batch and select per element. 3x the (cheap) morphology
+    compute, but one static graph that is correct on TPU — the
+    vmap(switch(while_loop)) alternative miscompiles (see above).
+
+    masks: (N, H, W) binary; codes: (N,) int32 in {0,1,2}.
+    """
+    masks = m.threshold_binary(masks, 0.5)
+    w = jax.vmap(optimize_watermark_mask)(masks)
+    t = jax.vmap(optimize_text_mask)(masks)
+    x = jax.vmap(optimize_mixed_mask)(masks)
+    sel = codes.reshape(-1, 1, 1)
+    return jnp.where(sel == 0, w, jnp.where(sel == 1, t, x))
 
 
 # ---------------------------------------------------------------------------

@@ -347,10 +347,7 @@ class WatermarkPredictor:
 
     def _optimize_batch(self, masks: jnp.ndarray,
                         codes: jnp.ndarray) -> jnp.ndarray:
-        if not hasattr(self, "_opt_vmapped"):
-            self._opt_vmapped = jax.jit(
-                jax.vmap(maskproc.optimize_mask_by_type))
-        return self._opt_vmapped(masks, codes)
+        return maskproc.optimize_mask_batch_by_type(masks, codes)
 
     # ------------------------------------------------------------------
     # batched repair core (predict.py:666-858) — in-process engine

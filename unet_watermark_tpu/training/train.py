@@ -125,8 +125,13 @@ def create_train_state(cfg: Config, seed: int = 0) -> Tuple[Any, TrainState]:
 # epoch loops
 # ---------------------------------------------------------------------------
 
-def run_train_epoch(train_step, state, pipeline, rng, epoch: int):
-    """One epoch; returns (state, mean metrics dict). Scalars sync once."""
+def run_train_epoch(train_step, state, pipeline, rng, epoch: int,
+                    log_interval: int = 0):
+    """One epoch; returns (state, mean metrics dict).
+
+    Scalars sync once per epoch by default; log_interval > 0 adds the
+    reference's periodic batch logging (train.py:110-117) at the cost of
+    a device sync per interval."""
     agg = None
     batches = 0
     t0 = time.time()
@@ -136,6 +141,9 @@ def run_train_epoch(train_step, state, pipeline, rng, epoch: int):
         agg = m if agg is None else jax.tree_util.tree_map(
             jnp.add, agg, m)
         batches += 1
+        if log_interval and batches % log_interval == 0:
+            logger.info("epoch %d batch %d: loss=%.4f", epoch + 1, batches,
+                        float(m["loss"]))
     if agg is None:
         return state, rng, {"loss": float("nan")}, 0.0
     agg = jax.tree_util.tree_map(lambda x: np.asarray(x), agg)  # one sync
@@ -263,7 +271,7 @@ def train(cfg: Config, resume_from: Optional[str] = None,
     for epoch in range(start_epoch, cfg.TRAIN.EPOCHS):
         state, rng, train_m, dt = run_train_epoch(
             train_step, state, _limit(train_pipe, max_steps_per_epoch),
-            rng, epoch)
+            rng, epoch, log_interval=cfg.TRAIN.LOG_INTERVAL)
         val_m = run_eval_epoch(eval_step, state, val_pipe)
 
         lr = scheduler.step(val_m["loss"])
@@ -303,6 +311,20 @@ def train(cfg: Config, resume_from: Optional[str] = None,
         if cfg.TRAIN.USE_EARLY_STOPPING and early(val_m["loss"]):
             logger.info("early stopping at epoch %d", epoch + 1)
             break
+
+        # host-memory guard: transfer staging through this environment's
+        # device tunnel has been observed to retain per-batch host buffers;
+        # collect cycles eagerly and log pressure so long runs fail loudly
+        # instead of being OOM-killed
+        import gc
+        from ..utils.memory import get_global_memory_manager
+        mm = get_global_memory_manager()
+        level = mm.check_memory_pressure()
+        if level != "ok":
+            gc.collect()
+            snap = mm.snapshot()
+            logger.warning("host memory %s after epoch %d: %.1f%% used",
+                           level, epoch + 1, snap.host_percent)
 
     save_training_plots(history, cfg.TRAIN.OUTPUT_DIR)
     os.makedirs(cfg.TRAIN.OUTPUT_DIR, exist_ok=True)
