@@ -89,6 +89,9 @@ def repair_command(args) -> int:
 
     from .inference import WatermarkPredictor
 
+    if getattr(args, "inpaint_weights", None):
+        os.environ["PREDICT_INPAINT_WEIGHTS"] = args.inpaint_weights
+
     model_path = args.model if args.model and os.path.exists(args.model) \
         else None
     if args.model and model_path is None:
@@ -203,6 +206,10 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--device", type=str, default="auto")
     rp.add_argument("--watermark-model", type=str, default="lama")
     rp.add_argument("--text-model", type=str, default="mat")
+    rp.add_argument("--inpaint-weights", type=str, default=None,
+                    help="orbax checkpoint dir with trained FFC-inpaint "
+                         "weights (train_inpaint.py); falls back to the "
+                         "pushpull engine when absent")
     rp.add_argument("--timeout", type=int, default=300)
     rp.add_argument("--steps", type=int, default=3)
     rp.add_argument("--save-intermediate", action="store_true", default=True)

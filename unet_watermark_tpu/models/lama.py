@@ -31,8 +31,63 @@ from flax import linen as nn
 Dtype = Any
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_matrices(n: int):
+    """(cos, sin) of the orthonormal DFT matrix for length n (fp32)."""
+    import numpy as np
+
+    k = np.arange(n)[:, None]
+    t = np.arange(n)[None, :]
+    ang = -2.0 * np.pi * k * t / n
+    scale = 1.0 / np.sqrt(n)
+    return (jnp.asarray(np.cos(ang) * scale, jnp.float32),
+            jnp.asarray(np.sin(ang) * scale, jnp.float32))
+
+
+def dft2(x: jax.Array):
+    """Orthonormal 2D DFT over axes (1, 2) of a real NHWC array, computed
+    as matmuls on the MXU.
+
+    This replaces jnp.fft.rfft2: FFT custom-calls are UNIMPLEMENTED on
+    some TPU runtimes (including this image's backend), and at the FFC's
+    /8 working resolution the dense DFT is a pair of tiny matmuls — an
+    MXU-native spectral transform rather than a scalar FFT kernel.
+    Returns (real, imag).
+    """
+    h, w = x.shape[1], x.shape[2]
+    ch, sh = _dft_matrices(h)
+    cw, sw = _dft_matrices(w)
+    x = x.astype(jnp.float32)
+    ar = jnp.einsum("hk,nkwc->nhwc", ch, x)
+    ai = jnp.einsum("hk,nkwc->nhwc", sh, x)
+    br = jnp.einsum("wk,nhkc->nhwc", cw, ar) - \
+        jnp.einsum("wk,nhkc->nhwc", sw, ai)
+    bi = jnp.einsum("wk,nhkc->nhwc", sw, ar) + \
+        jnp.einsum("wk,nhkc->nhwc", cw, ai)
+    return br, bi
+
+
+def idft2_real(real: jax.Array, imag: jax.Array):
+    """Real part of the orthonormal inverse 2D DFT (matmul form)."""
+    h, w = real.shape[1], real.shape[2]
+    ch, sh = _dft_matrices(h)
+    cw, sw = _dft_matrices(w)
+    # inverse DFT = conjugate transform: cos, +sin
+    ar = jnp.einsum("hk,nkwc->nhwc", ch.T, real) - \
+        jnp.einsum("hk,nkwc->nhwc", (-sh).T, imag)
+    ai = jnp.einsum("hk,nkwc->nhwc", (-sh).T, real) + \
+        jnp.einsum("hk,nkwc->nhwc", ch.T, imag)
+    out = jnp.einsum("wk,nhkc->nhwc", cw.T, ar) - \
+        jnp.einsum("wk,nhkc->nhwc", (-sw).T, ai)
+    return out
+
+
 class SpectralTransform(nn.Module):
-    """Global branch: rFFT2 → 1x1 conv on stacked (real, imag) → irFFT2."""
+    """Global branch: DFT (matmul) → 1x1 conv on stacked (real, imag) →
+    inverse DFT. Spectral math stays fp32; convs run in the model dtype."""
 
     channels: int
     dtype: Dtype = jnp.bfloat16
@@ -46,9 +101,8 @@ class SpectralTransform(nn.Module):
                          epsilon=1e-5, dtype=self.dtype, name="reduce_bn")(y)
         y = nn.relu(y)
 
-        # FFT in fp32 (bf16 FFT loses too much phase precision)
-        yf = jnp.fft.rfft2(y.astype(jnp.float32), axes=(1, 2), norm="ortho")
-        fr = jnp.concatenate([yf.real, yf.imag], axis=-1).astype(self.dtype)
+        fr_r, fr_i = dft2(y.astype(jnp.float32))
+        fr = jnp.concatenate([fr_r, fr_i], axis=-1).astype(self.dtype)
         fr = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype,
                      name="fourier_conv")(fr)
         fr = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -56,8 +110,7 @@ class SpectralTransform(nn.Module):
                           name="fourier_bn")(fr)
         fr = nn.relu(fr).astype(jnp.float32)
         half = fr.shape[-1] // 2
-        yf2 = jax.lax.complex(fr[..., :half], fr[..., half:])
-        y2 = jnp.fft.irfft2(yf2, s=(h, w), axes=(1, 2), norm="ortho")
+        y2 = idft2_real(fr[..., :half], fr[..., half:])
         y2 = y2.astype(self.dtype)
 
         out = nn.Conv(self.channels, (1, 1), use_bias=False,
