@@ -118,3 +118,22 @@ def test_pipeline_epoch_reshuffle(data_root):
     # same samples overall, different batch composition across epochs
     assert sum(e1) == pytest.approx(sum(e2), rel=1e-5)
     assert e1 != pytest.approx(e2)
+
+
+def test_pipeline_early_break_no_thread_leak(data_root):
+    """Abandoning iteration mid-epoch must release the producer thread."""
+    import threading
+    import time
+
+    ds = WatermarkDataset(
+        watermarked_dirs=os.path.join(data_root, "watermarked"),
+        mask_dirs=os.path.join(data_root, "masks"), img_size=64)
+    pipe = DataPipeline(ds, batch_size=2, shuffle=False, num_workers=2,
+                        prefetch=1)
+    before = threading.active_count()
+    for _ in range(4):
+        for b in pipe:
+            break  # abandon after one batch
+    time.sleep(1.0)
+    after = threading.active_count()
+    assert after <= before + 1, (before, after)

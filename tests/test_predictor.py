@@ -140,3 +140,19 @@ def test_ocr_accepts_pil_image():
     det = BuiltinTextDetector()
     mask = det.generate_text_mask(img)
     assert mask is not None and mask.shape == (64, 64)
+
+
+def test_predict_mask_tiled_highres(tmp_path):
+    """PREDICT.TILED path: high-res input keeps full resolution."""
+    cfg = small_cfg(img=64)
+    cfg.PREDICT.TILED = True
+    cfg.PREDICT.TILE_SIZE = 64
+    cfg.PREDICT.TILE_OVERLAP = 16
+    rng = np.random.default_rng(0)
+    p = str(tmp_path / "big.jpg")
+    Image.fromarray((rng.random((200, 300, 3)) * 255).astype(
+        np.uint8)).save(p)
+    predictor = WatermarkPredictor(model_path=None, config=cfg)
+    mask = predictor.predict_mask(p)
+    assert mask.shape == (200, 300)
+    assert set(np.unique(mask)).issubset({0, 255})

@@ -231,7 +231,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     ap = sub.add_parser("auto", help="self-improving train loop")
     ap.add_argument("--config-file", type=str)
-    ap.add_argument("--config", type=str, default=DEFAULT_CONFIG)
+    ap.add_argument("--config", "-c", type=str, default=DEFAULT_CONFIG)
     ap.add_argument("--project-root", type=str)
     ap.add_argument("--max-cycles", type=int, default=100)
     ap.add_argument("--device", type=str, default="auto")

@@ -92,6 +92,18 @@ class DataPipeline:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Bounded put that keeps observing `stop` — an abandoned
+            consumer (early break / generator GC) must not leave this
+            thread blocked in q.put forever."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
@@ -109,10 +121,11 @@ class DataPipeline:
                             dev = shard_batch(host, self.mesh)
                         else:
                             dev = jax.tree_util.tree_map(jax.device_put, host)
-                        q.put(dev)
-                q.put(None)
+                        if not put(dev):
+                            return
+                put(None)
             except Exception as e:  # noqa: BLE001
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

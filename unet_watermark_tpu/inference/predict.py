@@ -107,14 +107,15 @@ class WatermarkPredictor:
             logger.info("loaded .pth: %d tensors, %d unmatched",
                         len(report["loaded"]), len(report["missing"]))
             return variables
-        # orbax checkpoint dir (ours)
-        from ..training.checkpoint import restore_checkpoint
-        from ..training.train import create_train_state
-        _, st = create_train_state(self.cfg)
-        st, meta = restore_checkpoint(model_path, st)
+        # orbax checkpoint dir (ours) — raw restore: inference never needs
+        # the optimizer state, and a template restore would break whenever
+        # the checkpoint's optimizer differs from the current config
+        from ..training.checkpoint import restore_raw
+        tree, meta = restore_raw(model_path)
         self.model_info = {"epoch": meta.get("epoch", "Unknown"),
                            "val_loss": meta.get("best_val_loss", "Unknown")}
-        return {"params": st.params, "batch_stats": st.batch_stats}
+        return {"params": tree["params"],
+                "batch_stats": tree.get("batch_stats", {})}
 
     def _print_model_info(self):
         logger.info("UNet model: %s/%s, epoch=%s val_loss=%s",

@@ -112,11 +112,10 @@ class ModelSelector:
             from ..models.torch_import import import_pth
             variables, _ = import_pth(path, variables)
         else:
-            from ..training.checkpoint import restore_checkpoint
-            from ..training.train import create_train_state
-            _, st = create_train_state(self.cfg)
-            st, _ = restore_checkpoint(path, st)
-            variables = {"params": st.params, "batch_stats": st.batch_stats}
+            from ..training.checkpoint import restore_raw
+            tree, _ = restore_raw(path)
+            variables = {"params": tree["params"],
+                         "batch_stats": tree.get("batch_stats", {})}
         return model, variables
 
     def _stackable(self, trees) -> bool:

@@ -102,11 +102,19 @@ class AutoTrainingLoop:
             return None
 
     def step2_training(self, cycle: int, resume_from: Optional[str]) -> Dict:
-        """auto_train.py:143-199: +K epochs from the best checkpoint."""
+        """auto_train.py:143-199: +K epochs ON TOP of the resumed
+        checkpoint's epoch (reference sets EPOCHS = current + K,
+        auto_train.py:167-179)."""
         from .train import train
 
         cfg = self.cfg.clone()
-        cfg.TRAIN.EPOCHS = self.config.epochs_per_cycle * (cycle + 1)
+        base_epoch = 0
+        if resume_from:
+            meta_path = os.path.join(resume_from, "meta.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    base_epoch = int(json.load(f).get("epoch", 0))
+        cfg.TRAIN.EPOCHS = base_epoch + self.config.epochs_per_cycle
         cfg.TRAIN.OUTPUT_DIR = os.path.join(self.output_dir,
                                             f"cycle_{cycle}_training")
         cfg.TRAIN.MODEL_SAVE_PATH = os.path.join(

@@ -15,6 +15,7 @@ epoch, best_val_loss, full metric history and the frozen config
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
 from typing import Any, Dict, Optional, Tuple
@@ -22,6 +23,8 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
+
+logger = logging.getLogger(__name__)
 
 CKPT_RE = re.compile(r"^checkpoint_epoch_(\d+)$")
 
@@ -63,16 +66,57 @@ def restore_checkpoint(path: str, state) -> Tuple[Any, Dict[str, Any]]:
         "opt_state": state.opt_state,
         "step": state.step,
     }
-    restored = ckptr.restore(os.path.join(path, "tree"), template)
     meta_path = os.path.join(path, "meta.json")
     meta = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-    new_state = state.replace(
-        params=restored["params"], batch_stats=restored["batch_stats"],
-        opt_state=restored["opt_state"], step=restored["step"])
+    try:
+        restored = ckptr.restore(os.path.join(path, "tree"), template)
+        new_state = state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"], step=restored["step"])
+    except Exception as e:  # noqa: BLE001
+        # optimizer mismatch between the checkpoint and the current config:
+        # keep params/batch_stats, start the optimizer state fresh
+        logger.warning(
+            "full state restore failed (%s); restoring params/batch_stats "
+            "only with a fresh optimizer state", str(e).splitlines()[0])
+        tree = ckptr.restore(os.path.join(path, "tree"))
+        new_state = state.replace(
+            params=jax.tree_util.tree_map(
+                lambda t, s: np.asarray(t, dtype=np.asarray(s).dtype),
+                tree["params"], state.params),
+            batch_stats=jax.tree_util.tree_map(
+                lambda t, s: np.asarray(t, dtype=np.asarray(s).dtype),
+                tree.get("batch_stats", {}), state.batch_stats),
+            opt_state=state.tx.init(jax.tree_util.tree_map(
+                jnp_asarray, tree["params"])),
+            step=jnp_asarray(tree.get("step", 0)))
     return new_state, meta
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
+def restore_raw(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Restore a checkpoint WITHOUT a template: returns (tree, meta) with
+    numpy leaves. Use when only params/batch_stats are needed (model
+    selection, inference) — a template-based restore couples the reader
+    to the exact optimizer that produced the checkpoint, which breaks as
+    soon as OPTIMIZER.NAME differs between runs."""
+    path = _abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    tree = ckptr.restore(os.path.join(path, "tree"))
+    meta_path = os.path.join(path, "meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return tree, meta
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:
