@@ -72,3 +72,40 @@ def test_augment_is_jittable():
     f = jax.jit(lambda k, i, m: aug.augment_batch(k, i, m, "enhanced"))
     out_i, out_m = f(jax.random.PRNGKey(0), imgs, masks)
     assert np.isfinite(np.asarray(out_i)).all()
+
+
+def test_jpeg_compression_sim():
+    """Low quality adds block artifacts; high quality is near-identity."""
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((32, 32, 3)), jnp.float32)
+    hi = np.asarray(aug.jpeg_compression_sim(img, jnp.float32(98.0)))
+    lo = np.asarray(aug.jpeg_compression_sim(img, jnp.float32(8.0)))
+    err_hi = np.abs(hi - np.asarray(img)).mean()
+    err_lo = np.abs(lo - np.asarray(img)).mean()
+    assert err_hi < 0.035, err_hi
+    assert err_lo > err_hi * 2
+    assert hi.min() >= 0 and hi.max() <= 1
+
+
+def test_jpeg_against_real_codec():
+    """Quality ordering must match a real JPEG encoder on a natural-ish
+    image (the sim omits chroma subsampling, so magnitudes differ; the
+    quality→artifact monotonicity is the contract)."""
+    import cv2
+
+    ys, xs = np.mgrid[0:64, 0:64].astype(np.float32) / 64
+    img = np.stack([ys, xs, (ys + xs) / 2], -1)
+    img[20:40, 20:40] = [0.9, 0.2, 0.1]
+    img_u8 = (img * 255).astype(np.uint8)
+    errs_real, errs_ours = [], []
+    for q in (10, 50, 90):
+        ok, enc = cv2.imencode(".jpg", img_u8,
+                               [cv2.IMWRITE_JPEG_QUALITY, q])
+        real = cv2.imdecode(enc, cv2.IMREAD_COLOR).astype(np.float32) / 255
+        ours = np.asarray(aug.jpeg_compression_sim(
+            jnp.asarray(img), jnp.float32(q)))
+        errs_real.append(np.abs(real - img).mean())
+        errs_ours.append(np.abs(ours - img).mean())
+    assert errs_real[0] > errs_real[1] > errs_real[2]
+    assert errs_ours[0] > errs_ours[1] > errs_ours[2]
+    assert errs_ours[0] > 0.005  # q=10 produces visible artifacts

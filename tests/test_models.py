@@ -94,3 +94,35 @@ def test_unsupported_model_raises():
 def test_available_encoders():
     enc = SMPModelFactory.get_available_encoders()
     assert "resnet34" in enc and "efficientnet-b3" in enc
+
+
+def test_remat_forward_and_grad():
+    """MODEL.REMAT path (large config): remat'd encoder must produce the
+    same outputs and support backward."""
+    base = SMPModelFactory.create_model(
+        model_name="Unet", encoder_name="resnet18", dtype=jnp.float32,
+        remat=False)
+    rem = SMPModelFactory.create_model(
+        model_name="Unet", encoder_name="resnet18", dtype=jnp.float32,
+        remat=True)
+    vb = init_model(base, IMG, seed=4)
+    vr = init_model(rem, IMG, seed=4)
+    # same parameter tree and values
+    assert jax.tree_util.tree_structure(vb["params"]) == \
+        jax.tree_util.tree_structure(vr["params"])
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(1, IMG, IMG, 3)),
+                    jnp.float32)
+    yb = base.apply(vb, x, train=False)
+    yr = rem.apply(vr, x, train=False)
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(yr), rtol=1e-5,
+                               atol=1e-5)
+
+    def loss(params):
+        out, _ = rem.apply({"params": params,
+                            "batch_stats": vr["batch_stats"]}, x,
+                           train=True, mutable=["batch_stats"])
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss)(vr["params"])
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))

@@ -23,6 +23,7 @@ hosts and restores.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
@@ -56,6 +57,8 @@ class AugmentPolicy:
     blur_p: float = 0.0
     gamma_p: float = 0.0
     gamma_limit: Tuple[float, float] = (0.8, 1.2)
+    jpeg_p: float = 0.0
+    jpeg_quality: Tuple[float, float] = (60.0, 100.0)
 
 
 POLICIES = {
@@ -69,7 +72,8 @@ POLICIES = {
         shift_limit=0.0,
         brightness_limit=0.3, contrast_limit=0.3, bc_p=0.7,
         hue_limit=15, sat_limit=30, val_limit=20, hsv_p=0.5,
-        noise_p=0.3, noise_std=0.03, blur_p=0.2),
+        noise_p=0.3, noise_std=0.03, blur_p=0.2,
+        jpeg_p=0.3, jpeg_quality=(60.0, 100.0)),
     "text_watermark": AugmentPolicy(
         affine_p=0.2, scale_limit=0.05, rotate_limit=8, shear_limit=2,
         shift_limit=0.0,
@@ -180,6 +184,58 @@ def _blur3(img: Array) -> Array:
     return jnp.concatenate(outs, axis=-1)[0]
 
 
+@functools.lru_cache(maxsize=1)
+def _dct8():
+    """8-point DCT-II matrix (orthonormal), fp32."""
+    import numpy as np
+
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    m = np.cos(np.pi * (2 * n + 1) * k / 16) * np.sqrt(2 / 8)
+    m[0] /= np.sqrt(2)
+    return jnp.asarray(m, jnp.float32)
+
+
+# luminance quantization base table (JPEG Annex K)
+_JPEG_Q = jnp.asarray([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], jnp.float32)
+
+
+def jpeg_compression_sim(image: Array, quality: Array) -> Array:
+    """Differentiable-free JPEG artifact simulation on device.
+
+    The albumentations policy applies A.ImageCompression(quality 60-100)
+    (dataset.py:330-332); cv2's encoder can't run on TPU, so this
+    reproduces the artifact-generating core: per-channel 8x8 block DCT
+    (matmuls on the MXU), quantization with the standard luminance table
+    scaled by `quality`, inverse DCT. H, W must be multiples of 8 (the
+    pipeline's sizes are multiples of 32). quality: scalar in [1, 100].
+    """
+    h, w, c = image.shape
+    d = _dct8()
+    scale = jnp.where(quality < 50, 5000.0 / quality,
+                      200.0 - 2.0 * quality)
+    q = jnp.clip(jnp.floor((_JPEG_Q * scale + 50.0) / 100.0), 1, 255)
+    x = image * 255.0 - 128.0
+    # (H/8, 8, W/8, 8, C) blocks
+    xb = x.reshape(h // 8, 8, w // 8, 8, c)
+    # DCT rows/cols: D @ block @ D^T
+    f = jnp.einsum("ij,ajbkc->aibkc", d, xb)
+    f = jnp.einsum("kl,ajblc->ajbkc", d, f)
+    f = jnp.round(f / q[None, :, None, :, None]) * q[None, :, None, :, None]
+    y = jnp.einsum("ji,ajbkc->aibkc", d, f)
+    y = jnp.einsum("lk,ajblc->ajbkc", d, y)
+    out = (y.reshape(h, w, c) + 128.0) / 255.0
+    return jnp.clip(out, 0.0, 1.0)
+
+
 def augment_sample(key: Array, image: Array, mask: Array,
                    policy: AugmentPolicy) -> Tuple[Array, Array]:
     """Augment one (H,W,3) [0,1] image + (H,W,1) mask pair."""
@@ -244,7 +300,7 @@ def augment_sample(key: Array, image: Array, mask: Array,
     img_hsv = _hsv_shift(image, dh, ds, dv)
     image = jnp.where(do_hsv, img_hsv, image)
 
-    kn = jax.random.split(keys[11], 3)
+    kn = jax.random.split(keys[11], 5)
     if policy.noise_p > 0:
         do_n = jax.random.uniform(kn[0]) < policy.noise_p
         noise = jax.random.normal(kn[1], image.shape) * policy.noise_std
@@ -252,6 +308,11 @@ def augment_sample(key: Array, image: Array, mask: Array,
     if policy.blur_p > 0:
         do_b = jax.random.uniform(kn[2]) < policy.blur_p
         image = jnp.where(do_b, _blur3(image), image)
+    if policy.jpeg_p > 0 and h % 8 == 0 and w % 8 == 0:
+        do_j = jax.random.uniform(kn[3]) < policy.jpeg_p
+        quality = jax.random.uniform(kn[4], minval=policy.jpeg_quality[0],
+                                     maxval=policy.jpeg_quality[1])
+        image = jnp.where(do_j, jpeg_compression_sim(image, quality), image)
 
     return image, mask
 
