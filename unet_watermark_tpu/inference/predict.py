@@ -411,18 +411,32 @@ class WatermarkPredictor:
                 {**fi, "_img": padded_img, "_mask": padded_mask,
                  "_orig": orig})
 
+        from ..utils.batching import make_buckets, pad_to_bucket
+
+        batch_buckets = make_buckets(self.cfg.PREDICT.BATCH_SIZE)
         for key, items in buckets.items():
             bs = max(1, min(len(items), self.cfg.PREDICT.BATCH_SIZE))
             for i in range(0, len(items), bs):
                 group = items[i:i + bs]
-                imgs = jnp.asarray(np.stack([g["_img"] for g in group]))
-                msks = jnp.asarray(
-                    np.stack([g["_mask"] for g in group]))[..., None]
+                # pad the group to a power-of-two bucket: one compiled
+                # engine graph per (shape, bucket) instead of per group size
+                padded_n = pad_to_bucket(len(group), batch_buckets)
+                imgs_np = np.stack([g["_img"] for g in group])
+                msks_np = np.stack([g["_mask"] for g in group])[..., None]
+                if padded_n > len(group):
+                    reps = padded_n - len(group)
+                    imgs_np = np.concatenate(
+                        [imgs_np, np.repeat(imgs_np[-1:], reps, 0)])
+                    msks_np = np.concatenate(
+                        [msks_np, np.zeros((reps,) + msks_np.shape[1:],
+                                           msks_np.dtype)])
+                imgs = jnp.asarray(imgs_np)
+                msks = jnp.asarray(msks_np)
                 try:
                     out = imgs
                     for _ in range(max(1, steps)):
                         out = engine(out, msks)
-                    out = np.asarray(out)
+                    out = np.asarray(out)[:len(group)]
                 except Exception as e:  # noqa: BLE001
                     logger.error("inpaint engine failed (%s); copying "
                                  "originals", e)
