@@ -327,7 +327,8 @@ def generate_dataset(clean_dir: str, output_root: str,
     weights = [ratios[k] for k in kinds]
     stats = {k: 0 for k in kinds}
     stats["skipped"] = 0
-    for i in range(count):
+    from tqdm import tqdm
+    for i in tqdm(range(count), desc="generating", unit="img"):
         # per-index child RNG: skipping an existing output consumes no
         # draws, so resumed runs regenerate byte-identical filenames/content
         rng = random.Random(f"{seed}:{i}")

@@ -286,7 +286,9 @@ class WatermarkPredictor:
         bs = self.cfg.PREDICT.BATCH_SIZE
         processed: List[dict] = []
 
-        for i in range(0, len(image_files), bs):
+        from tqdm import tqdm
+        for i in tqdm(range(0, len(image_files), bs), desc="step1 predict",
+                      unit="batch"):
             chunk = image_files[i:i + bs]
             imgs_rgb, sizes, ok_paths = [], [], []
             for p in chunk:
@@ -495,8 +497,9 @@ class WatermarkPredictor:
             logger.error("OCR unavailable: %s", e)
             return []
 
+        from tqdm import tqdm
         successful = []
-        for fi in processed_files:
+        for fi in tqdm(processed_files, desc="step3 OCR", unit="img"):
             try:
                 image_path = fi["image_path"]
                 img = cv2.imread(image_path)
