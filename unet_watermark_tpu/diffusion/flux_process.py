@@ -109,12 +109,13 @@ class FluxProcessor:
         nw, nh = normalize_size(w, h)
         if pipe is None:
             # no diffusion: detect text regions and fast-inpaint them
+            from PIL import Image
+
             from ..ocr import get_ocr_detector
 
             det = get_ocr_detector(self.ocr_engine)
-            mask = det.generate_text_mask(
-                __import__("PIL.Image", fromlist=["Image"]).fromarray(
-                    cv2.cvtColor(image_bgr, cv2.COLOR_BGR2RGB)))
+            mask = det.generate_text_mask(Image.fromarray(
+                cv2.cvtColor(image_bgr, cv2.COLOR_BGR2RGB)))
             return self._fallback(image_bgr, mask)
         from PIL import Image
 
