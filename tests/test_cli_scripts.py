@@ -184,3 +184,20 @@ def test_auto_train_single_cycle(workspace):
     info = json.load(open(out / "cycle_0_info.json"))
     assert info["steps"]["training"]["epochs_run"] >= 1
     assert info["steps"]["data_augmentation"]["generated"] > 0
+
+
+def test_cli_repair_with_video(workspace, tmp_path):
+    """--video produces a comparison MP4 next to repair_summary.json."""
+    cfg = _cfg_file(workspace)
+    out = str(tmp_path / "vid_out")
+    rc = cli_main([
+        "repair", "-c", cfg, "--device", "cpu",
+        "--model", str(workspace / "model.pth"),
+        "--input", str(workspace / "data" / "test"),
+        "--output", out, "--no-ocr", "--steps", "1",
+        "--watermark-model", "pushpull", "--video",
+        "--video-width", "320", "--video-height", "240",
+        "--duration", "0.2", "--fps", "5"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "comparison_video.mp4"))
+    assert os.path.getsize(os.path.join(out, "comparison_video.mp4")) > 500

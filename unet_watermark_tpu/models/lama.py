@@ -3,8 +3,9 @@
 TPU-native reimplementation of the learned inpainting engine the reference
 reaches through iopaint's LaMa (/root/reference/src/predict.py:771-777,
 SURVEY.md §7.1 layer 7). Fast Fourier Convolutions give a global receptive
-field in every block — and FFTs are XLA-native on TPU, so the spectral
-branch lowers onto the hardware directly instead of through cuFFT.
+field in every block; the spectral transform here is a dense DFT expressed
+as MXU matmuls (see dft2) — tiny at the /8 working resolution and portable
+to TPU runtimes whose FFT custom-call is unimplemented.
 
 Architecture (big-lama generator):
   input  = image(3) ⊕ hole-mask(1), holes zeroed
@@ -36,15 +37,19 @@ import functools
 
 @functools.lru_cache(maxsize=16)
 def _dft_matrices(n: int):
-    """(cos, sin) of the orthonormal DFT matrix for length n (fp32)."""
+    """(cos, sin) of the orthonormal DFT matrix for length n.
+
+    Returns NUMPY arrays: an lru_cache of jnp values would cache tracers
+    when first invoked inside a jit trace (UnexpectedTracerError on the
+    next trace)."""
     import numpy as np
 
     k = np.arange(n)[:, None]
     t = np.arange(n)[None, :]
     ang = -2.0 * np.pi * k * t / n
     scale = 1.0 / np.sqrt(n)
-    return (jnp.asarray(np.cos(ang) * scale, jnp.float32),
-            jnp.asarray(np.sin(ang) * scale, jnp.float32))
+    return (np.asarray(np.cos(ang) * scale, np.float32),
+            np.asarray(np.sin(ang) * scale, np.float32))
 
 
 def dft2(x: jax.Array):

@@ -186,14 +186,18 @@ def _blur3(img: Array) -> Array:
 
 @functools.lru_cache(maxsize=1)
 def _dct8():
-    """8-point DCT-II matrix (orthonormal), fp32."""
+    """8-point DCT-II matrix (orthonormal), fp32.
+
+    Returns NUMPY (not jnp): lru_cache + jnp would cache a tracer if the
+    first call happens inside a jit trace, poisoning later traces with
+    UnexpectedTracerError."""
     import numpy as np
 
     k = np.arange(8)[:, None]
     n = np.arange(8)[None, :]
     m = np.cos(np.pi * (2 * n + 1) * k / 16) * np.sqrt(2 / 8)
     m[0] /= np.sqrt(2)
-    return jnp.asarray(m, jnp.float32)
+    return np.asarray(m, np.float32)
 
 
 # luminance quantization base table (JPEG Annex K)
@@ -219,7 +223,7 @@ def jpeg_compression_sim(image: Array, quality: Array) -> Array:
     pipeline's sizes are multiples of 32). quality: scalar in [1, 100].
     """
     h, w, c = image.shape
-    d = _dct8()
+    d = jnp.asarray(_dct8())
     scale = jnp.where(quality < 50, 5000.0 / quality,
                       200.0 - 2.0 * quality)
     q = jnp.clip(jnp.floor((_JPEG_Q * scale + 50.0) / 100.0), 1, 255)
