@@ -13,6 +13,26 @@ def test_dryrun_multichip_8():
     g.dryrun_multichip(8)  # asserts finite loss internally
 
 
+def test_dryrun_multichip_driver_call_path():
+    """Reproduce the driver's exact invocation: a fresh process that does NOT
+    force the CPU platform, imports the module, and calls the function.
+    Round-1 regression: this initialized the real TPU backend and died
+    (MULTICHIP_r01.json rc=1). The function must self-contain the virtual
+    CPU mesh setup."""
+    import os
+    import subprocess
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    code = ("import __graft_entry__ as g\n"
+            "g.dryrun_multichip(4)\n")
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd="/root/repo",
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "dryrun_multichip(4): ok" in proc.stdout, proc.stdout
+
+
 def test_entry_compile_check_small():
     """entry() returns a jittable fn; exercise it at a reduced size via the
     same model pathway (full 512 compile is covered by bench on TPU)."""
