@@ -138,3 +138,22 @@ def test_batched_dispatch_matches_unbatched():
         single = np.asarray(fn(jnp.asarray(masks[i])))
         np.testing.assert_array_equal(batched[i], single)
         assert batched[i].mean() > 0  # not silently zeroed
+
+
+def test_optimize_mask_batch_partitioned_matches_single():
+    """The host-partitioned batch path (one strategy per image) matches the
+    single-image strategies exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unet_watermark_tpu.inference import maskproc
+
+    rng = np.random.default_rng(11)
+    masks = (rng.random((5, 64, 64)) > 0.8).astype(np.float32)
+    codes = [0, 1, 2, 0, 1]
+    names = {0: "watermark", 1: "text", 2: "mixed"}
+    part = maskproc.optimize_mask_batch_partitioned(masks, codes)
+    for i, c in enumerate(codes):
+        single = np.asarray(
+            maskproc.optimize_mask(jnp.asarray(masks[i]), names[c]))
+        np.testing.assert_array_equal(part[i], single)

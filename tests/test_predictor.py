@@ -156,3 +156,74 @@ def test_predict_mask_tiled_highres(tmp_path):
     mask = predictor.predict_mask(p)
     assert mask.shape == (200, 300)
     assert set(np.unique(mask)).issubset({0, 255})
+
+
+def test_step1_batch_flags_affect_output(tmp_path):
+    """MULTI_SCALE_TEST / EDGE_REFINEMENT / CONNECTIVITY_CHECK act in the
+    BATCHED step-1 path (unet_text_watermark.yaml:71-74 semantics), not
+    only in single-image predict_mask."""
+    from unet_watermark_tpu.configs import update_config
+
+    d = tmp_path / "in"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        arr = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"im{i}.png")
+
+    cfg1 = small_cfg()
+    # threshold 0 → raw masks are non-empty regardless of the random init,
+    # so the flag effects below are decisive
+    cfg1.PREDICT.THRESHOLD = 0.0
+    base = WatermarkPredictor(model_path=None, config=cfg1)
+    out1 = tmp_path / "m1"
+    base.step1_batch_predict_watermark_masks(str(d), str(out1))
+
+    cfg2 = small_cfg()
+    # take the text-config's predict flags (the yaml that enables them)
+    update_config(cfg2, "unet_watermark_tpu/configs/unet_text_watermark.yaml")
+    cfg2.MODEL.NAME = "Unet"
+    cfg2.MODEL.ENCODER_NAME = "resnet18"
+    cfg2.MODEL.DTYPE = "float32"
+    cfg2.DATA.IMG_SIZE = 64
+    cfg2.PREDICT.BATCH_SIZE = 4
+    cfg2.PREDICT.THRESHOLD = 0.0
+    assert cfg2.PREDICT.MULTI_SCALE_TEST and cfg2.PREDICT.EDGE_REFINEMENT \
+        and cfg2.PREDICT.CONNECTIVITY_CHECK
+    # make the connectivity filter decisive: no 64x64 component survives
+    cfg2.TEXT_WATERMARK.MIN_COMPONENT_AREA = 100000
+    flagged = WatermarkPredictor(model_path=None, config=cfg2)
+    out2 = tmp_path / "m2"
+    recs = flagged.step1_batch_predict_watermark_masks(str(d), str(out2))
+    assert recs == []  # every component filtered by the huge min-area
+
+    changed = False
+    for f in sorted(os.listdir(out1)):
+        a = cv2.imread(str(out1 / f), 0)
+        b = cv2.imread(str(out2 / f), 0)
+        assert (b == 0).all()
+        changed = changed or (a != b).any()
+    assert changed, "flags did not change any batched-step1 output"
+
+
+def test_step1_tiled_highres_batch(tmp_path):
+    """PREDICT.TILED routes large images through native-resolution sliding-
+    window inference inside the batched step-1."""
+    cfg = small_cfg()
+    cfg.PREDICT.TILED = True
+    cfg.PREDICT.TILE_SIZE = 64
+    cfg.PREDICT.TILE_OVERLAP = 32
+    d = tmp_path / "in"
+    d.mkdir()
+    rng = np.random.default_rng(5)
+    Image.fromarray((rng.random((160, 128, 3)) * 255).astype(np.uint8)).save(
+        d / "big.png")
+    Image.fromarray((rng.random((64, 64, 3)) * 255).astype(np.uint8)).save(
+        d / "small.png")
+    pred = WatermarkPredictor(model_path=None, config=cfg)
+    out = tmp_path / "masks"
+    pred.step1_batch_predict_watermark_masks(str(d), str(out))
+    big_mask = cv2.imread(str(out / "big_mask.png"), 0)
+    assert big_mask is not None and big_mask.shape == (160, 128)
+    small_mask = cv2.imread(str(out / "small_mask.png"), 0)
+    assert small_mask is not None and small_mask.shape == (64, 64)

@@ -38,6 +38,10 @@ class ModelConfig:
     PARAM_DTYPE: str = "float32"     # parameter storage dtype
     REMAT: bool = False              # jax.checkpoint over encoder stages
     FUSED_DECODER: bool = True       # fold upsample+concat into the conv
+    # UNet++ decoder structure: "canonical" (Zhou et al. grid, the flagship)
+    # or "smp" (bit-exact segmentation-models-pytorch layout, required to
+    # load reference .pth checkpoints; auto-selected when importing one).
+    DECODER_IMPL: str = "canonical"
 
 
 @dataclass

@@ -112,10 +112,13 @@ def optimize_mask_by_type(mask: Array, type_code: Array) -> Array:
 
 @jax.jit
 def optimize_mask_batch_by_type(masks: Array, codes: Array) -> Array:
-    """Batched per-type optimization: run all three strategies vmapped
-    over the batch and select per element. 3x the (cheap) morphology
-    compute, but one static graph that is correct on TPU — the
-    vmap(switch(while_loop)) alternative miscompiles (see above).
+    """Batched per-type optimization in ONE graph: run all three strategies
+    vmapped over the batch and select per element. 3x the morphology
+    compute — kept only as the fallback for callers that need a single
+    jitted graph with device-resident codes; the production batched
+    pipeline uses optimize_mask_batch_partitioned (one strategy per image).
+    The straightforward vmap(switch(while_loop)) miscompiles on TPU
+    (all-zero outputs for batch >= 2; repro in docs/PERFORMANCE.md).
 
     masks: (N, H, W) binary; codes: (N,) int32 in {0,1,2}.
     """
@@ -125,6 +128,48 @@ def optimize_mask_batch_by_type(masks: Array, codes: Array) -> Array:
     x = jax.vmap(optimize_mixed_mask)(masks)
     sel = codes.reshape(-1, 1, 1)
     return jnp.where(sel == 0, w, jnp.where(sel == 1, t, x))
+
+
+# vmapped + jitted per-strategy batch functions (one compile per shape)
+_BATCH_STRATEGY = {
+    0: jax.jit(jax.vmap(lambda mk: optimize_watermark_mask(
+        m.threshold_binary(mk, 0.5)))),
+    1: jax.jit(jax.vmap(lambda mk: optimize_text_mask(
+        m.threshold_binary(mk, 0.5)))),
+    2: jax.jit(jax.vmap(lambda mk: optimize_mixed_mask(
+        m.threshold_binary(mk, 0.5)))),
+}
+
+
+def optimize_mask_batch_partitioned(masks, codes) -> "np.ndarray":
+    """One strategy per image: partition the batch by (host-known) type
+    code and run each strategy once on its padded slice.
+
+    This replaces the 3x-compute workaround above for the batched step-1
+    path: type codes are computed on host anyway (classify_type), so the
+    partition is free, plain vmap over each single strategy compiles
+    correctly (only vmap(lax.switch(...while_loop)) miscompiles), and each
+    image runs exactly one strategy. Slices are zero-padded to the next
+    power of two so compiles are cached across batches.
+
+    masks: (N, H, W) float/bool array (numpy or jax); codes: length-N
+    sequence of ints in {0,1,2}. Returns float32 (N, H, W) numpy.
+    """
+    import numpy as np
+
+    masks = np.asarray(masks, np.float32)
+    out = np.empty_like(masks)
+    by_type: dict = {}
+    for i, c in enumerate(codes):
+        by_type.setdefault(int(c), []).append(i)
+    for c, idx in by_type.items():
+        n = len(idx)
+        padded_n = 1 << (n - 1).bit_length()
+        sub = np.zeros((padded_n,) + masks.shape[1:], np.float32)
+        sub[:n] = masks[idx]
+        res = np.asarray(_BATCH_STRATEGY[c](jnp.asarray(sub)))
+        out[idx] = res[:n]
+    return out
 
 
 # ---------------------------------------------------------------------------

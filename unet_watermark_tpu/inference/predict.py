@@ -29,6 +29,7 @@ Deviation notes vs the reference (by design):
 """
 from __future__ import annotations
 
+import functools
 import glob
 import logging
 import os
@@ -52,6 +53,15 @@ from .tiled import pad_to_multiple, predict_tiled
 logger = logging.getLogger(__name__)
 
 IMAGE_EXTS = ("jpg", "jpeg", "png", "bmp", "tiff", "webp")
+
+
+@functools.lru_cache(maxsize=8)
+def _connectivity_batch_fn(min_area: int, connectivity: int):
+    """Jitted vmapped small-component filter (one compile per shape)."""
+    from ..ops import components as cc
+
+    return jax.jit(jax.vmap(lambda mk: cc.filter_components_by_area(
+        mk, min_area=min_area, connectivity=connectivity)))
 
 
 class WatermarkPredictor:
@@ -89,7 +99,23 @@ class WatermarkPredictor:
         if not os.path.exists(model_path):
             raise FileNotFoundError(f"model not found: {model_path}")
         if model_path.endswith(".pth"):
-            from ..models.torch_import import import_pth, load_pth
+            from ..models.torch_import import (
+                detect_decoder_impl,
+                import_pth,
+                load_pth,
+            )
+            if self.cfg.MODEL.NAME.lower() in ("unetplusplus", "unet++"):
+                impl = detect_decoder_impl(load_pth(model_path))
+                if impl != getattr(self.cfg.MODEL, "DECODER_IMPL",
+                                   "canonical"):
+                    # reference (smp-trained) checkpoint: rebuild the model
+                    # with the matching decoder structure before importing
+                    logger.info("checkpoint uses the '%s' UNet++ decoder "
+                                "layout — rebuilding model to match", impl)
+                    self.cfg.MODEL.DECODER_IMPL = impl
+                    self.model = create_model_from_config(self.cfg)
+                    variables = init_model(self.model,
+                                           self.cfg.DATA.IMG_SIZE, seed=0)
             variables, report = import_pth(model_path, variables)
             try:
                 import torch
@@ -297,19 +323,24 @@ class WatermarkPredictor:
                     logger.error("cannot load %s", p)
                     continue
                 rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-                sizes.append(rgb.shape[:2])
+                h, w = rgb.shape[:2]
+                if self.cfg.PREDICT.TILED and \
+                        min(h, w) >= self.cfg.PREDICT.TILE_SIZE and \
+                        max(h, w) > s:
+                    # high-res images take the tiled sliding-window path at
+                    # native resolution (predict.py:303-368 semantics; the
+                    # reference only ever downscales — SURVEY.md §5 gap)
+                    rec = self._step1_tiled_single(p, rgb,
+                                                   mask_output_folder)
+                    if rec is not None:
+                        processed.append(rec)
+                    continue
+                sizes.append((h, w))
                 imgs_rgb.append(rgb)
                 ok_paths.append(p)
             if not ok_paths:
                 continue
-            batch = np.stack([
-                cv2.resize(r, (s, s)).astype(np.float32) / 255.0
-                for r in imgs_rgb])
-            if batch.shape[0] < bs:  # static shape
-                batch = np.concatenate(
-                    [batch, np.zeros((bs - batch.shape[0], s, s, 3),
-                                     np.float32)])
-            probs = self._forward_probs(batch)[:len(ok_paths)]
+            probs = self._batch_prob_maps(imgs_rgb, bs)
 
             # type detection + optimization on device at model resolution
             masks_bin = (probs > self.cfg.PREDICT.THRESHOLD).astype(
@@ -321,8 +352,9 @@ class WatermarkPredictor:
                     jnp.asarray(small_rgbs[j], jnp.float32),
                     jnp.asarray(masks_bin[j])))
                 types.append(maskproc.classify_type(score))
-            codes = jnp.asarray([maskproc.type_code(t) for t in types])
-            opt = self._optimize_batch(jnp.asarray(masks_bin), codes)
+            codes = [maskproc.type_code(t) for t in types]
+            opt = maskproc.optimize_mask_batch_partitioned(masks_bin, codes)
+            opt = self._apply_predict_flags_batch(opt, probs)
 
             for j, p in enumerate(ok_paths):
                 oh, ow = sizes[j]
@@ -348,9 +380,89 @@ class WatermarkPredictor:
                     len(processed), len(image_files))
         return processed
 
-    def _optimize_batch(self, masks: jnp.ndarray,
-                        codes: jnp.ndarray) -> jnp.ndarray:
-        return maskproc.optimize_mask_batch_by_type(masks, codes)
+    def _batch_prob_maps(self, imgs_rgb: List[np.ndarray],
+                         bs: int) -> np.ndarray:
+        """(len(imgs), S, S) probability maps for a chunk, honoring
+        PREDICT.MULTI_SCALE_TEST (unet_text_watermark.yaml:85-87) in the
+        batched path: one padded static-shape forward per test scale,
+        averaged at model resolution."""
+        s = self.img_size
+        scales = (list(self.cfg.PREDICT.TEST_SCALES)
+                  if self.cfg.PREDICT.MULTI_SCALE_TEST else [1.0])
+        n = len(imgs_rgb)
+        acc = np.zeros((n, s, s), np.float32)
+        for scale in scales:
+            side = max(int(round(s * scale / 32)) * 32, 32)
+            batch = np.stack([
+                cv2.resize(r, (side, side)).astype(np.float32) / 255.0
+                for r in imgs_rgb])
+            if batch.shape[0] < bs:  # static shape
+                batch = np.concatenate(
+                    [batch, np.zeros((bs - batch.shape[0], side, side, 3),
+                                     np.float32)])
+            probs = self._forward_probs(batch)[:n]
+            if side != s:
+                probs = np.stack([cv2.resize(pm, (s, s)) for pm in probs])
+            acc += probs
+        return acc / len(scales)
+
+    def _apply_predict_flags_batch(self, opt: np.ndarray,
+                                   probs: np.ndarray) -> np.ndarray:
+        """EDGE_REFINEMENT + CONNECTIVITY_CHECK on a batch of optimized
+        masks (same ops as the single-image path in predict_mask,
+        unet_text_watermark.yaml:88-94)."""
+        if self.cfg.PREDICT.EDGE_REFINEMENT:
+            from ..ops import morphology as m
+            soft = m.gaussian_blur(jnp.asarray(opt), (5, 5), 1.5)
+            opt = np.asarray(m.threshold_binary(
+                soft * (0.5 + jnp.asarray(probs)), 0.5))
+        if self.cfg.PREDICT.CONNECTIVITY_CHECK:
+            from ..ops import components as cc
+            min_area = self.cfg.TEXT_WATERMARK.MIN_COMPONENT_AREA
+            conn = self.cfg.TEXT_WATERMARK.CONNECTIVITY
+            fn = _connectivity_batch_fn(min_area, conn)
+            opt = np.asarray(fn(jnp.asarray(opt)))
+        return opt
+
+    def _step1_tiled_single(self, path: str, rgb: np.ndarray,
+                            mask_output_folder: str) -> Optional[dict]:
+        """Tiled high-res step-1 for one image: native-resolution prob map
+        (sliding window, Hann blend), type detection, type-aware
+        optimization + predict flags at original resolution."""
+        oh, ow = rgb.shape[:2]
+        s = self.img_size
+        probs_full = self._infer_prob_map(rgb)  # (oh, ow) via tiled path
+        mask_bin = (probs_full > self.cfg.PREDICT.THRESHOLD).astype(
+            np.float32)
+        # detect type at model resolution (same stats as the batched path)
+        small_rgb = cv2.resize(rgb, (s, s))
+        small_mask = cv2.resize(mask_bin, (s, s),
+                                interpolation=cv2.INTER_NEAREST)
+        score = float(maskproc.detect_watermark_type_scores(
+            jnp.asarray(small_rgb, jnp.float32), jnp.asarray(small_mask)))
+        mask_type = maskproc.classify_type(score)
+
+        padded, (h, w) = pad_to_multiple(mask_bin, 32)
+        opt = maskproc.optimize_mask(jnp.asarray(padded), mask_type)
+        probs_pad, _ = pad_to_multiple(probs_full.astype(np.float32), 32)
+        opt = self._apply_predict_flags_batch(
+            np.asarray(opt)[None], probs_pad[None])[0]
+        mask_full = (opt[:h, :w] * 255).astype(np.uint8)
+
+        stem = os.path.splitext(os.path.basename(path))[0]
+        mask_path = os.path.join(mask_output_folder, f"{stem}_mask.png")
+        cv2.imwrite(mask_path, mask_full)
+        wm_px = int((mask_full > 0).sum())
+        if wm_px == 0:
+            logger.info("no watermark detected, skipping: %s", stem)
+            return None
+        return {
+            "image_path": path,
+            "original_path": path,
+            "mask_path": mask_path,
+            "mask_type": mask_type,
+            "watermark_ratio": wm_px / (oh * ow),
+        }
 
     # ------------------------------------------------------------------
     # batched repair core (predict.py:666-858) — in-process engine

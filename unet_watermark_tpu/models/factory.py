@@ -14,7 +14,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .encoders import get_encoder, get_encoder_channels, available_encoders
-from .unet import UnetDecoder, UnetPlusPlusDecoder, SegmentationHead
+from .unet import (
+    SegmentationHead,
+    SMPUnetPlusPlusDecoder,
+    UnetDecoder,
+    UnetPlusPlusDecoder,
+)
 
 Dtype = Any
 
@@ -30,6 +35,7 @@ class SegmentationModel(nn.Module):
     dtype: Dtype = jnp.bfloat16
     remat: bool = False
     fused: bool = True
+    decoder_impl: str = "canonical"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -45,7 +51,7 @@ class SegmentationModel(nn.Module):
                               remat=self.remat)
         feats = encoder.copy(name="encoder")(x, train)
         decoder = _make_decoder(self.arch, self.decoder_channels,
-                                self.dtype, self.fused)
+                                self.dtype, self.fused, self.decoder_impl)
         y = decoder.copy(name="decoder")(feats, train)
         y = SegmentationHead(classes=self.classes, activation=self.activation,
                              dtype=self.dtype, name="segmentation_head")(y)
@@ -53,12 +59,16 @@ class SegmentationModel(nn.Module):
 
 
 def _make_decoder(arch: str, decoder_channels: Sequence[int], dtype: Dtype,
-                  fused: bool = True):
+                  fused: bool = True, decoder_impl: str = "canonical"):
     arch_l = arch.lower()
     if arch_l == "unet":
         return UnetDecoder(decoder_channels=tuple(decoder_channels),
                            dtype=dtype, fused=fused)
     if arch_l in ("unetplusplus", "unet++"):
+        if decoder_impl == "smp":
+            return SMPUnetPlusPlusDecoder(
+                decoder_channels=tuple(decoder_channels), dtype=dtype,
+                fused=fused)
         return UnetPlusPlusDecoder(decoder_channels=tuple(decoder_channels),
                                    dtype=dtype, fused=fused)
     # Families implemented in archs.py (imported lazily to avoid cycles).
@@ -96,6 +106,7 @@ class SMPModelFactory:
                      dtype: Dtype = jnp.bfloat16,
                      remat: bool = False,
                      fused: bool = True,
+                     decoder_impl: str = "canonical",
                      **kwargs) -> SegmentationModel:
         if model_name not in SUPPORTED_MODELS:
             raise ValueError(
@@ -113,6 +124,7 @@ class SMPModelFactory:
             dtype=dtype,
             remat=remat,
             fused=fused,
+            decoder_impl=decoder_impl,
         )
 
     @staticmethod
@@ -133,6 +145,7 @@ def create_model_from_config(cfg) -> SegmentationModel:
         dtype=jnp.dtype(cfg.MODEL.DTYPE),
         remat=cfg.MODEL.REMAT,
         fused=cfg.MODEL.FUSED_DECODER,
+        decoder_impl=getattr(cfg.MODEL, "DECODER_IMPL", "canonical"),
     )
 
 

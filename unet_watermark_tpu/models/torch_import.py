@@ -12,12 +12,14 @@ SMP/torchvision state_dict names (OIHW convs) and our flax pytree (HWIO):
   encoder.layer{L}.{B}.convK      ↔ params.encoder.layer{L}_{B}.convK
   encoder.layer{L}.{B}.downsample.0/.1 ↔ ...downsample_conv/downsample_bn
   decoder.blocks.{i}.convJ.0/.1   ↔ params.decoder.block{i}.convJ.conv/bn
+  decoder.blocks.x_{d}_{l}.convJ  ↔ params.decoder.x_{d}_{l}.convJ (UNet++)
   segmentation_head.0             ↔ params.segmentation_head.conv
 
-For UNet++ the nested-decoder channel plan is canonical (models/unet.py)
-rather than SMP's, so decoder import is shape-checked name mapping with an
-explicit unmapped report; the encoder (the pretrained part that matters)
-maps 1:1.
+Real smp.UnetPlusPlus checkpoints import COMPLETELY (zero unmapped decoder
+tensors, per-pixel forward parity — tests/test_smp_interop.py): the model
+factory's decoder_impl="smp" reproduces smp's exact UNet++ structure, and
+detect_decoder_impl() picks it automatically when a reference .pth is
+loaded through WatermarkPredictor.
 """
 from __future__ import annotations
 
@@ -68,6 +70,9 @@ def _torch_name(path: Tuple[str, ...], collection: str) -> Optional[str]:
         m = re.fullmatch(r"layer(\d+)_(\d+)", p)
         if m:
             segs.append(f"layer{m.group(1)}.{m.group(2)}")
+        elif re.fullmatch(r"x_\d+_\d+", p):
+            # SMP UNet++ decoder ModuleDict: decoder.blocks.x_{depth}_{layer}
+            segs.append("blocks." + p)
         elif p == "downsample_conv":
             segs.append("downsample.0")
         elif p == "downsample_bn":
@@ -151,6 +156,22 @@ def load_pth(path: str) -> Dict[str, np.ndarray]:
         out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else \
             np.asarray(v)
     return out
+
+
+def detect_decoder_impl(state_dict: Dict[str, np.ndarray]) -> str:
+    """Classify a UNet++ state_dict's decoder layout.
+
+    Reference checkpoints come from smp.UnetPlusPlus
+    (/root/reference/src/models/unet_model.py:29-73) whose decoder is an
+    nn.ModuleDict named ``decoder.blocks.x_{depth}_{layer}``; our canonical
+    grid uses ``decoder.x_{i}_{j}_conv{1,2}`` names. Returns "smp" or
+    "canonical" so the model factory can construct the matching structure
+    before importing.
+    """
+    for k in state_dict:
+        if re.match(r"decoder\.blocks\.x_\d+_\d+\.", k):
+            return "smp"
+    return "canonical"
 
 
 def import_pth(path: str, variables) -> Tuple[dict, Dict[str, list]]:

@@ -234,6 +234,58 @@ class UnetPlusPlusDecoder(nn.Module):
         return x
 
 
+class SMPUnetPlusPlusDecoder(nn.Module):
+    """UNet++ decoder matching segmentation-models-pytorch's implementation
+    exactly — the structure behind every reference checkpoint
+    (/root/reference/src/models/unet_model.py:29-73 builds smp.UnetPlusPlus;
+    /root/reference/src/train.py:425-460 saves its state_dict).
+
+    smp's UNet++ differs from the canonical Zhou grid: features index
+    deepest-first, block ``x_{depth}_{layer}`` upsamples ``x_{d}_{l-1}``
+    (its own spine advances one resolution per layer), interior blocks
+    output the ENCODER skip width rather than decoder_channels, and concat
+    order is [upsampled | skips... | encoder skip]. Block/parameter naming
+    mirrors smp's ``decoder.blocks.x_{d}_{l}.conv{1,2}`` so reference .pth
+    checkpoints import with zero unmapped decoder tensors
+    (models/torch_import.py).
+    """
+
+    decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    dtype: Dtype = jnp.bfloat16
+    fused: bool = True
+
+    @nn.compact
+    def __call__(self, feats: List[jax.Array], train: bool = False):
+        # drop identity, reverse: f[0]=stride32 head ... f[4]=stride2
+        f = list(feats[1:])[::-1]
+        skip_ch = [int(t.shape[-1]) for t in f[1:]] + [0]
+        out_ch = list(self.decoder_channels)
+        depth = len(out_ch) - 1  # 4 for the standard 5-stage pyramid
+
+        def block(d, l, x, skip_cat):
+            ch = out_ch[l] if d == 0 else skip_ch[l]
+            return DecoderBlock(ch, dtype=self.dtype, fused=self.fused,
+                                name=f"x_{d}_{l}")(x, skip_cat, train)
+
+        dense: dict = {}
+        for layer in range(depth):
+            for d in range(depth - layer):
+                li = d + layer
+                if layer == 0:
+                    dense[(d, d)] = block(d, d, f[d], f[d + 1])
+                else:
+                    cats = [dense[(i, li)] for i in range(d + 1, li + 1)]
+                    cats.append(f[li + 1])
+                    skip_cat = jnp.concatenate(
+                        [c.astype(self.dtype) for c in cats], axis=-1)
+                    dense[(d, li)] = block(d, li, dense[(d, li - 1)],
+                                           skip_cat)
+        # final skip-less block to stride 1
+        return DecoderBlock(out_ch[depth], dtype=self.dtype, fused=self.fused,
+                            name=f"x_0_{depth}")(dense[(0, depth - 1)], None,
+                                                 train)
+
+
 class SegmentationHead(nn.Module):
     """3x3 conv head → `classes` logits (SMP SegmentationHead analog)."""
 
