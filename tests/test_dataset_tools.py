@@ -146,3 +146,50 @@ def test_batch_repair_optimizer(tmp_path):
                      use_ocr=False, steps=1, watermark_model="pushpull")
     assert result["total_images"] == 5
     assert len(result["chunks"]) >= 1
+
+
+def test_validate_dataset_fragmented_mask_native(tmp_path):
+    """Fragmented-mask detection runs through the native C++ CC runtime
+    (native/maskops.cpp) with component stats in the summary."""
+    import cv2
+
+    root = tmp_path / "ds"
+    for sub in ("watermarked", "clean", "masks"):
+        (root / sub).mkdir(parents=True)
+    img = np.full((64, 64, 3), 128, np.uint8)
+    cv2.imwrite(str(root / "watermarked" / "a.png"), img)
+    cv2.imwrite(str(root / "clean" / "a.png"), img)
+    # speckle mask: 100+ isolated dots (spaced 2px so 8-connectivity
+    # keeps them separate)
+    frag = np.zeros((64, 64), np.uint8)
+    frag[::4, ::4] = 255
+    cv2.imwrite(str(root / "masks" / "a.png"), frag)
+    # healthy second triad
+    cv2.imwrite(str(root / "watermarked" / "b.png"), img)
+    cv2.imwrite(str(root / "clean" / "b.png"), img)
+    solid = np.zeros((64, 64), np.uint8)
+    solid[10:40, 10:40] = 255
+    cv2.imwrite(str(root / "masks" / "b.png"), solid)
+
+    s = validate_dataset(str(root), fragment_limit=64)
+    assert s["problems"]["fragmented_mask"] == 1
+    assert s["mask_stats"]["analyzed"] == 2
+    assert s["mask_stats"]["max_components"] == 256
+    # fragmented masks are report-only: nothing deleted in detect mode
+    assert s["handled"] == []
+
+
+def test_extractor_uses_native_cc(tmp_path):
+    """cluster_regions goes through utils.native connected components."""
+    from unet_watermark_tpu.scripts.extract_watermarks import (
+        WatermarkExtractor,
+    )
+    from unet_watermark_tpu.utils import native
+
+    mask = np.zeros((100, 100), np.uint8)
+    mask[10:30, 10:40] = 255
+    mask[60:80, 55:90] = 255
+    ex = WatermarkExtractor(eps_ratio=0.05)
+    boxes = ex.cluster_regions(mask)
+    assert len(boxes) == 2
+    assert native.native_available()  # toolchain present in this image

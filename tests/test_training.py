@@ -176,3 +176,63 @@ def test_resume_continues_epoch_count(data_root, tmp_path):
                max_steps_per_epoch=1)
     # resumed at epoch 1, ran 1 more → history has 2 entries
     assert r2["epochs_run"] == 2
+
+
+def test_dp_equivalence_1_vs_8_devices(tmp_path):
+    """Full train+eval cycle equivalence: the same data through a 1-device
+    and an 8-device mesh must produce matching loss/metric trajectories and
+    final parameters (catches sharding bugs per-op tests can't)."""
+    from unet_watermark_tpu.parallel import make_mesh, replicated, shard_batch
+
+    cfg = small_cfg(tmp_path)
+    cfg.LOSS.NAME = "CombinedLoss"
+    # SGD keeps the update linear in the gradient, so 1-vs-8-device
+    # parameter differences stay at fp32 reduction-noise scale (Adam's
+    # rsqrt(v) normalization amplifies sign flips of near-zero gradients
+    # into O(lr) divergence, which would mask nothing but fail spuriously).
+    cfg.OPTIMIZER.NAME = "SGD"
+    model, state0 = create_train_state(cfg, seed=0)
+    loss_fn = losses_lib.get_loss_function(cfg)
+    step = make_train_step(model, loss_fn, "transparent_watermark",
+                           donate=False)
+    eval_step = make_eval_step(model, loss_fn)
+
+    rng = np.random.default_rng(123)
+    batches = []
+    for _ in range(3):
+        batches.append({
+            "image": (rng.random((16, 64, 64, 3)) * 255).astype(np.uint8),
+            "mask": (rng.random((16, 64, 64, 1)) > 0.7).astype(np.float32),
+            "valid": np.ones((16,), np.float32),
+        })
+
+    def run(n_dev):
+        mesh = make_mesh(devices=jax.devices()[:n_dev])
+        rep = replicated(mesh)
+        state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x,
+            state0)
+        losses = []
+        for i, b in enumerate(batches):
+            state, metrics = step(state, shard_batch(b, mesh),
+                                  jax.random.PRNGKey(7 + i))
+            losses.append(float(metrics["loss"]))
+        ev = eval_step(state, shard_batch(batches[0], mesh))
+        return losses, {k: float(v) for k, v in ev.items()}, state
+
+    losses1, eval1, state1 = run(1)
+    losses8, eval8, state8 = run(8)
+
+    np.testing.assert_allclose(losses1, losses8, rtol=2e-3, atol=1e-5)
+    for k in eval1:
+        # confusion counts (tp/fp/fn/tn) flip on pixels whose probability
+        # sits within fp32 reduction-order noise of the threshold — with a
+        # 3-step barely-trained model that's a lot of pixels, so counts get
+        # a loose bound; loss (and params below) are the strict signal.
+        rtol = 0.15 if k in ("tp", "fp", "fn", "tn") else 2e-3
+        np.testing.assert_allclose(eval1[k], eval8[k], rtol=rtol, atol=1e-3,
+                                   err_msg=f"eval metric {k}")
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)

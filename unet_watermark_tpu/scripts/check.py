@@ -38,9 +38,24 @@ def _stems(folder: str) -> Dict[str, str]:
     return out
 
 
+def _mask_component_count(mask_path: str):
+    """Connected-component count via the native C++ runtime
+    (native/maskops.cpp through utils/native.py; cv2 fallback inside).
+    Used to flag fragmented masks — a failure mode black-mask detection
+    misses (noise masks with hundreds of specks train badly)."""
+    mask = cv2.imread(mask_path, cv2.IMREAD_GRAYSCALE)
+    if mask is None:
+        return None
+    from ..utils import native
+
+    num, _labels, _stats = native.connected_components_with_stats(mask, 8)
+    return max(int(num) - 1, 0)  # minus background
+
+
 def validate_dataset(root: str, mode: str = "detect",
                      quarantine_dir: str = None,
-                     black_threshold: float = 0.01) -> Dict:
+                     black_threshold: float = 0.01,
+                     fragment_limit: int = 64) -> Dict:
     """check.py:61-326 analog. mode: detect | delete | move."""
     wm = _stems(os.path.join(root, "watermarked"))
     cl = _stems(os.path.join(root, "clean"))
@@ -48,7 +63,9 @@ def validate_dataset(root: str, mode: str = "detect",
 
     problems: Dict[str, List[str]] = {
         "missing_clean": [], "missing_mask": [], "black_mask": [],
+        "fragmented_mask": [],
         "orphan_clean": [], "orphan_mask": [], "corrupted": []}
+    component_counts: List[int] = []
 
     for stem, path in wm.items():
         img = cv2.imread(path)
@@ -61,6 +78,12 @@ def validate_dataset(root: str, mode: str = "detect",
             problems["missing_mask"].append(path)
         elif is_black_mask(mk[stem], black_threshold):
             problems["black_mask"].append(mk[stem])
+        else:
+            n_comp = _mask_component_count(mk[stem])
+            if n_comp is not None:
+                component_counts.append(n_comp)
+                if n_comp > fragment_limit:
+                    problems["fragmented_mask"].append(mk[stem])
     for stem, path in cl.items():
         if stem not in wm:
             problems["orphan_clean"].append(path)
@@ -99,6 +122,13 @@ def validate_dataset(root: str, mode: str = "detect",
         "affected_triads": len(affected),
         "handled": removed,
         "mode": mode,
+        "mask_stats": {
+            "analyzed": len(component_counts),
+            "avg_components": (sum(component_counts) / len(component_counts))
+            if component_counts else 0.0,
+            "max_components": max(component_counts, default=0),
+            "fragment_limit": fragment_limit,
+        },
     }
     logger.info("validate: %d watermarked, problems=%s", len(wm),
                 summary["problems"])

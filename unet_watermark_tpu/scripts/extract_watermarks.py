@@ -40,18 +40,23 @@ class WatermarkExtractor:
 
     def cluster_regions(self, mask: np.ndarray
                         ) -> List[Tuple[int, int, int, int]]:
-        """Contour centroids clustered by DBSCAN
-        (extract_watermarks.py:104-120); returns per-cluster bboxes."""
-        contours, _ = cv2.findContours(mask, cv2.RETR_EXTERNAL,
-                                       cv2.CHAIN_APPROX_SIMPLE)
+        """Blob centroids clustered by DBSCAN
+        (extract_watermarks.py:104-120); returns per-cluster bboxes.
+
+        Blob discovery runs through the native C++ connected-components
+        runtime (native/maskops.cpp via utils/native.py) — same outer
+        regions as cv2.findContours(RETR_EXTERNAL) with pixel-exact area
+        stats; cv2 remains the automatic fallback inside native.py."""
+        from ..utils import native
+
+        num, _labels, stats = native.connected_components_with_stats(mask, 8)
         centers = []
         boxes = []
-        for c in contours:
-            if cv2.contourArea(c) < self.min_contour_area:
+        for x, y, w, h, area in stats[1:num]:  # row 0 = background
+            if area < self.min_contour_area:
                 continue
-            x, y, w, h = cv2.boundingRect(c)
             centers.append([x + w / 2, y + h / 2])
-            boxes.append((x, y, w, h))
+            boxes.append((int(x), int(y), int(w), int(h)))
         if not centers:
             return []
         h_img, w_img = mask.shape
