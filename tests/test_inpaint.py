@@ -77,3 +77,56 @@ def test_lama_generator_forward():
     # known region passes through exactly
     known = np.asarray(mask[..., 0]) < 0.5
     np.testing.assert_allclose(out[known], np.asarray(img)[known], atol=1e-5)
+
+
+def test_resolve_inpaint_weights_precedence(tmp_path, monkeypatch):
+    from unet_watermark_tpu.configs import get_cfg_defaults
+    from unet_watermark_tpu.inference.engines import resolve_inpaint_weights
+
+    monkeypatch.delenv("PREDICT_INPAINT_WEIGHTS", raising=False)
+    cfg = get_cfg_defaults()
+    # explicit beats config beats env beats default
+    cfg.PREDICT.INPAINT_WEIGHTS = "/cfg/path"
+    monkeypatch.setenv("PREDICT_INPAINT_WEIGHTS", "/env/path")
+    assert resolve_inpaint_weights("/explicit", cfg) == "/explicit"
+    assert resolve_inpaint_weights(None, cfg) == "/cfg/path"
+    cfg.PREDICT.INPAINT_WEIGHTS = None
+    assert resolve_inpaint_weights(None, cfg) == "/env/path"
+
+
+def test_inpaint_quality_tool(tmp_path):
+    """PSNR/SSIM engine comparison runs end to end (pushpull engine)."""
+    import cv2
+
+    from unet_watermark_tpu.scripts.inpaint_quality import evaluate_engines
+
+    cd = tmp_path / "clean"
+    cd.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        cv2.imwrite(str(cd / f"c{i}.png"),
+                    (rng.random((80, 80, 3)) * 255).astype(np.uint8))
+    r = evaluate_engines(str(cd), ["pushpull"], img_size=64, batch_size=2,
+                         limit=4)
+    assert r["pushpull"]["hole_psnr_db"] > 0
+    assert 0 < r["pushpull"]["ssim"] <= 1
+
+
+def test_psnr_ssim_metrics():
+    from unet_watermark_tpu.ops import metrics as metrics_lib
+
+    rng = np.random.default_rng(0)
+    a = rng.random((2, 64, 64, 3)).astype(np.float32)
+    assert float(metrics_lib.psnr(a, a)) > 80
+    assert float(metrics_lib.ssim(a, a)) > 0.999
+    b = np.clip(a + rng.normal(0, 0.2, a.shape), 0, 1).astype(np.float32)
+    p = float(metrics_lib.psnr(b, a))
+    assert 8 < p < 20
+    s = float(metrics_lib.ssim(b, a))
+    assert s < 0.9
+    # masked psnr: error only outside the mask -> high masked psnr
+    m = np.zeros((2, 64, 64, 1), np.float32)
+    m[:, :8, :8] = 1
+    c = a.copy()
+    c[:, 32:, 32:] += 0.5
+    assert float(metrics_lib.psnr(np.clip(c, 0, 1), a, mask=m)) > 40

@@ -141,6 +141,9 @@ class PredictConfig:
     TILED: bool = False
     TILE_SIZE: int = 512
     TILE_OVERLAP: int = 64
+    # trained FFC-LaMa weights for the repair engines; None = auto-resolve
+    # (env PREDICT_INPAINT_WEIGHTS, then the shipped models/lama_ffc)
+    INPAINT_WEIGHTS: Optional[str] = None
 
 
 @dataclass

@@ -47,10 +47,25 @@ def _make_lama_engine(variant: str, weights_path: Optional[str]):
     if weights_path and os.path.exists(weights_path):
         import orbax.checkpoint as ocp
 
-        template = init_lama(model)
         ckptr = ocp.StandardCheckpointer()
-        variables = ckptr.restore(os.path.abspath(weights_path), template)
-        logger.info("loaded %s weights from %s", variant, weights_path)
+        # a checkpoint trained as one variant serves the other engine names
+        # too (the reference's lama/mat split is a quality knob, not a
+        # weight format): try the requested depth first, fall back across
+        # variants whose template matches the stored tree.
+        for cand in dict.fromkeys((variant, "lama", "big-lama")):
+            m = create_lama(cand)
+            try:
+                variables = ckptr.restore(os.path.abspath(weights_path),
+                                          init_lama(m))
+                model = m
+                logger.info("loaded %s weights from %s (as '%s')",
+                            variant, weights_path, cand)
+                break
+            except Exception:  # noqa: BLE001 — template/tree mismatch
+                continue
+        if variables is None:
+            logger.warning("checkpoint %s matches no lama variant",
+                           weights_path)
     if variables is None:
         logger.warning(
             "no trained weights for inpaint model '%s' — falling back to "
@@ -65,12 +80,35 @@ def _make_lama_engine(variant: str, weights_path: Optional[str]):
     return engine
 
 
+def default_inpaint_weights() -> Optional[str]:
+    """The shipped FFC-LaMa checkpoint: <repo>/models/lama_ffc (trained
+    in-framework by training/train_inpaint.py). None if absent."""
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    path = os.path.join(repo, "models", "lama_ffc")
+    return path if os.path.exists(path) else None
+
+
+def resolve_inpaint_weights(explicit: Optional[str] = None,
+                            cfg=None) -> Optional[str]:
+    """Precedence: explicit arg > PREDICT.INPAINT_WEIGHTS config key >
+    PREDICT_INPAINT_WEIGHTS env > shipped default under models/lama_ffc."""
+    for cand in (explicit,
+                 getattr(getattr(cfg, "PREDICT", None), "INPAINT_WEIGHTS",
+                         None),
+                 os.environ.get("PREDICT_INPAINT_WEIGHTS")):
+        if cand:
+            return cand
+    return default_inpaint_weights()
+
+
 def get_engine(name: str = "pushpull",
-               weights_path: Optional[str] = None) -> Engine:
+               weights_path: Optional[str] = None,
+               cfg=None) -> Engine:
     name = (name or "pushpull").lower()
     if name in ("pushpull", "fast", "telea"):
         return _pushpull_jit()
     if name in ("lama", "big-lama", "mat"):
-        wp = weights_path or os.environ.get("PREDICT_INPAINT_WEIGHTS")
-        return _make_lama_engine(name, wp)
+        return _make_lama_engine(name, resolve_inpaint_weights(
+            weights_path, cfg))
     raise ValueError(f"unknown inpaint engine '{name}'")

@@ -497,7 +497,7 @@ class WatermarkPredictor:
             return successful
 
         engine = get_engine(model_name if self._engine_name is None
-                            else self._engine_name)
+                            else self._engine_name, cfg=self.cfg)
 
         # bucket by padded shape → batch within bucket (static shapes)
         buckets: Dict[Tuple[int, int], List[dict]] = {}
@@ -860,15 +860,46 @@ class WatermarkPredictor:
     # ------------------------------------------------------------------
     # fused single-graph detect→inpaint (BASELINE north star)
     # ------------------------------------------------------------------
-    def make_fused_repair_fn(self, inpaint_engine: str = "pushpull",
+    def make_fused_repair_fn(self, inpaint_engine: str = "lama",
                              smooth_iterations: int = 32):
         """Returns a jitted fn: (N,S,S,3) [0,1] → repaired images; the
-        whole detect→threshold→optimize→inpaint path in ONE XLA graph."""
+        whole detect→threshold→optimize→inpaint path in ONE XLA graph.
+
+        With inpaint_engine in {lama, big-lama, mat} and resolvable trained
+        weights (engines.resolve_inpaint_weights), the fill is the learned
+        FFC generator — matching the reference's always-learned repair
+        (predict.py:771-777); otherwise the push-pull fill. The fn's
+        `.engine_used` attribute reports which one actually compiled."""
         from ..ops.inpaint import inpaint_pushpull
+        from .engines import resolve_inpaint_weights
 
         model = self.model
         variables = self.variables
         threshold = self.cfg.PREDICT.THRESHOLD
+
+        lama_apply = None
+        engine_used = "pushpull"
+        if inpaint_engine in ("lama", "big-lama", "mat"):
+            wp = resolve_inpaint_weights(cfg=self.cfg)
+            if wp:
+                from ..models.lama import create_lama, init_lama
+                import orbax.checkpoint as ocp
+
+                for cand in dict.fromkeys((inpaint_engine, "lama",
+                                           "big-lama")):
+                    lm = create_lama(cand)
+                    try:
+                        lv = ocp.StandardCheckpointer().restore(
+                            os.path.abspath(wp), init_lama(lm))
+                    except Exception:  # noqa: BLE001
+                        continue
+                    lama_apply = functools.partial(
+                        lm.apply, lv, train=False)
+                    engine_used = f"ffc-{cand}"
+                    break
+            if lama_apply is None:
+                logger.warning("fused repair: no trained weights for '%s' "
+                               "— using pushpull fill", inpaint_engine)
 
         @jax.jit
         def fused(images_01):
@@ -877,7 +908,10 @@ class WatermarkPredictor:
             probs = jax.nn.sigmoid(logits[..., 0])
             masks = (probs > threshold).astype(jnp.float32)
             opt = jax.vmap(maskproc.optimize_watermark_mask)(masks)
+            if lama_apply is not None:
+                return lama_apply(images_01, opt[..., None])
             return inpaint_pushpull(images_01, opt[..., None],
                                     smooth_iterations=smooth_iterations)
 
+        fused.engine_used = engine_used
         return fused

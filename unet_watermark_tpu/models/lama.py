@@ -219,6 +219,36 @@ class LamaGenerator(nn.Module):
         return out * mask + image * (1.0 - mask)
 
 
+class LamaDiscriminator(nn.Module):
+    """PatchGAN discriminator (pix2pix NLayerDiscriminator shape, the one
+    LaMa trains against). Returns (patch logits, feature maps) — features
+    feed the feature-matching loss. InstanceNorm (GroupNorm with one group
+    per channel) keeps it stateless, so the GAN train step carries no
+    discriminator batch stats."""
+
+    base: int = 64
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        y = x.astype(self.dtype)
+        feats = []
+        for i, ch in enumerate((self.base, self.base * 2, self.base * 4,
+                                self.base * 8)):
+            stride = (2, 2) if i < 3 else (1, 1)
+            y = nn.Conv(ch, (4, 4), strides=stride,
+                        padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                        name=f"conv{i}")(y)
+            if i > 0:
+                y = nn.GroupNorm(num_groups=None, group_size=1,
+                                 dtype=self.dtype, name=f"norm{i}")(y)
+            y = nn.leaky_relu(y, 0.2)
+            feats.append(y)
+        logits = nn.Conv(1, (4, 4), padding=[(1, 1), (1, 1)],
+                         dtype=self.dtype, name="head")(y)
+        return logits.astype(jnp.float32), feats
+
+
 def create_lama(variant: str = "lama", dtype: Dtype = jnp.bfloat16
                 ) -> LamaGenerator:
     """Factory. 'lama' = 9 FFC blocks; 'big-lama' = 18; 'mat' maps to

@@ -77,6 +77,49 @@ def iou_score(pred: Array, target: Array, smooth: float = 1e-5) -> Array:
     return (inter + smooth) / (union + smooth)
 
 
+def psnr(pred: Array, target: Array, max_val: float = 1.0,
+         mask: Array = None) -> Array:
+    """Peak signal-to-noise ratio in dB; with `mask` (same spatial shape,
+    1 = evaluate) restricted to the masked region — used for inpainting
+    hole-quality scoring (no reference counterpart: the reference never
+    measures fill quality)."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    if mask is not None:
+        w = jnp.broadcast_to(mask.astype(jnp.float32), pred.shape)
+        mse = jnp.sum(((pred - target) ** 2) * w) / jnp.maximum(
+            jnp.sum(w), 1.0)
+    else:
+        mse = jnp.mean((pred - target) ** 2)
+    return 10.0 * jnp.log10(max_val ** 2 / jnp.maximum(mse, 1e-12))
+
+
+def ssim(pred: Array, target: Array, max_val: float = 1.0,
+         ksize: int = 11, sigma: float = 1.5) -> Array:
+    """Mean structural similarity (Wang et al. 2004), Gaussian 11x1.5
+    window, standard C1/C2 — matches skimage/tf defaults. Inputs NHWC or
+    HWC in [0, max_val]."""
+    from . import morphology as m
+
+    if pred.ndim == 3:
+        pred, target = pred[None], target[None]
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    c1 = (0.01 * max_val) ** 2
+    c2 = (0.03 * max_val) ** 2
+    blur = lambda x: m.gaussian_blur(  # noqa: E731
+        x.transpose(0, 3, 1, 2).reshape((-1,) + x.shape[1:3]),
+        (ksize, ksize), sigma).reshape(
+        (x.shape[0], x.shape[3]) + x.shape[1:3]).transpose(0, 2, 3, 1)
+    mu_p, mu_t = blur(pred), blur(target)
+    var_p = blur(pred * pred) - mu_p * mu_p
+    var_t = blur(target * target) - mu_t * mu_t
+    cov = blur(pred * target) - mu_p * mu_t
+    num = (2 * mu_p * mu_t + c1) * (2 * cov + c2)
+    den = (mu_p ** 2 + mu_t ** 2 + c1) * (var_p + var_t + c2)
+    return jnp.mean(num / den)
+
+
 def get_metrics():
     """Analog of /root/reference/src/utils/metrics.py:11 — returns the
     metric-fn dict used by the train/validate loops."""

@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import logging
 import os
 import time
@@ -23,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+
+from ..ops import metrics as metrics_lib
 
 logger = logging.getLogger(__name__)
 
@@ -131,30 +134,93 @@ def train_inpaint(clean_dir: str, output_dir: str,
                   variant: str = "lama", img_size: int = 256,
                   batch_size: int = 8, steps: int = 2000,
                   lr: float = 2e-4, seed: int = 0,
-                  log_every: int = 50) -> Dict:
-    from ..models.lama import create_lama, init_lama
+                  log_every: int = 50,
+                  gan: bool = True, warmup_steps: int = 500,
+                  adv_weight: float = 0.05, fm_weight: float = 10.0,
+                  d_lr: float = 1e-4,
+                  resume_from: Optional[str] = None) -> Dict:
+    """Adversarially-trained FFC inpainting (the real LaMa recipe minus
+    the pretrained-HRF perceptual net, which a zero-egress pod cannot
+    download): hole-weighted L1 + gradient consistency, plus — after an
+    L1-only warmup — PatchGAN hinge adversarial loss and discriminator
+    feature matching. Saves a generator checkpoint loadable by
+    inference/engines.py."""
+    from ..models.lama import LamaDiscriminator, create_lama, init_lama
 
     model = create_lama(variant)
     variables = init_lama(model, img_size=img_size, seed=seed)
+    if resume_from:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        variables = ckptr.restore(os.path.abspath(resume_from),
+                                  dict(variables))
+        logger.info("resumed generator from %s", resume_from)
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
     opt_state = tx.init(variables["params"])
 
-    @jax.jit
-    def step(params, batch_stats, opt_state, images, key):
+    disc = LamaDiscriminator()
+    d_vars = disc.init(jax.random.PRNGKey(seed + 1),
+                       jnp.zeros((1, img_size, img_size, 3)))
+    d_params = d_vars["params"]
+    d_tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(d_lr))
+    d_opt = d_tx.init(d_params)
+
+    @functools.partial(jax.jit, static_argnames=("use_gan",))
+    def step(params, batch_stats, opt_state, d_params, d_opt, images, key,
+             use_gan: bool):
         masks = random_mask_batch(key, images.shape[0], img_size)
 
-        def loss_of(p):
+        def g_loss_of(p, dp):
             out, mutated = model.apply(
                 {"params": p, "batch_stats": batch_stats}, images, masks,
                 train=True, mutable=["batch_stats"])
-            return inpaint_loss(out, images, masks), \
-                mutated["batch_stats"]
+            loss = inpaint_loss(out, images, masks)
+            if use_gan:
+                fake_logits, fake_feats = disc.apply({"params": dp}, out)
+                _, real_feats = disc.apply({"params": dp}, images)
+                # non-saturating hinge generator term + feature matching
+                adv = -jnp.mean(fake_logits)
+                fm = sum(jnp.mean(jnp.abs(f.astype(jnp.float32) -
+                                          r.astype(jnp.float32)))
+                         for f, r in zip(fake_feats, real_feats))
+                loss = loss + adv_weight * adv + fm_weight * fm
+            return loss, (out, mutated["batch_stats"])
 
-        (loss, new_bs), grads = jax.value_and_grad(
-            loss_of, has_aux=True)(params)
-        updates, new_opt = tx.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        return new_params, new_bs, new_opt, loss
+        (g_loss, (fake, new_bs)), g_grads = jax.value_and_grad(
+            g_loss_of, has_aux=True)(params, d_params)
+        g_updates, new_opt = tx.update(g_grads, opt_state, params)
+        new_params = optax.apply_updates(params, g_updates)
+
+        if use_gan:
+            def d_loss_of(dp):
+                real_logits, _ = disc.apply({"params": dp}, images)
+                fake_logits, _ = disc.apply(
+                    {"params": dp}, jax.lax.stop_gradient(fake))
+                return jnp.mean(jax.nn.relu(1.0 - real_logits)) + \
+                    jnp.mean(jax.nn.relu(1.0 + fake_logits))
+
+            d_loss, d_grads = jax.value_and_grad(d_loss_of)(d_params)
+            d_updates, new_d_opt = d_tx.update(d_grads, d_opt, d_params)
+            new_d_params = optax.apply_updates(d_params, d_updates)
+        else:
+            d_loss = jnp.float32(0.0)
+            new_d_params, new_d_opt = d_params, d_opt
+        return (new_params, new_bs, new_opt, new_d_params, new_d_opt,
+                g_loss, d_loss)
+
+    # fixed validation batch + masks for hole-PSNR tracking
+    val_iter = load_clean_batches(clean_dir, batch_size, img_size,
+                                  seed + 99)
+    val_images = jnp.asarray(next(val_iter))
+    val_masks = random_mask_batch(jax.random.PRNGKey(seed + 7),
+                                  batch_size, img_size)
+
+    @jax.jit
+    def val_psnr(params, batch_stats):
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          val_images, val_masks, train=False)
+        return metrics_lib.psnr(out, val_images, mask=val_masks)
 
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -165,13 +231,20 @@ def train_inpaint(clean_dir: str, output_dir: str,
     for i in range(steps):
         key, sub = jax.random.split(key)
         images = jnp.asarray(next(batches))
-        params, batch_stats, opt_state, loss = step(
-            params, batch_stats, opt_state, images, sub)
+        use_gan = bool(gan) and i >= warmup_steps
+        (params, batch_stats, opt_state, d_params, d_opt,
+         g_loss, d_loss) = step(params, batch_stats, opt_state,
+                                d_params, d_opt, images, sub, use_gan)
         if (i + 1) % log_every == 0:
-            lv = float(loss)
-            history.append(lv)
+            gl, dl = float(g_loss), float(d_loss)
+            pv = float(val_psnr(params, batch_stats))
+            history.append({"step": i + 1, "g_loss": gl, "d_loss": dl,
+                            "hole_psnr": pv})
             rate = (i + 1) * batch_size / (time.time() - t0)
-            logger.info("step %d: loss=%.4f (%.1f img/s)", i + 1, lv, rate)
+            logger.info(
+                "step %d: g_loss=%.4f d_loss=%.4f hole_psnr=%.2f dB "
+                "(%.1f img/s)%s", i + 1, gl, dl, pv, rate,
+                " [gan]" if use_gan else " [warmup]")
 
     # save as an orbax checkpoint loadable by inference/engines.py
     import orbax.checkpoint as ocp
@@ -184,7 +257,9 @@ def train_inpaint(clean_dir: str, output_dir: str,
     ckptr.save(path, {"params": params, "batch_stats": batch_stats})
     ckptr.wait_until_finished()
     logger.info("inpaint weights saved: %s", path)
-    return {"final_loss": history[-1] if history else None,
+    final = history[-1] if history else {}
+    return {"final_loss": final.get("g_loss"),
+            "final_hole_psnr": final.get("hole_psnr"),
             "history": history, "checkpoint": path}
 
 
@@ -202,10 +277,22 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--no-gan", action="store_true",
+                   help="L1+gradient only (round-1 recipe)")
+    p.add_argument("--warmup-steps", type=int, default=500)
+    p.add_argument("--adv-weight", type=float, default=0.05)
+    p.add_argument("--fm-weight", type=float, default=10.0)
+    p.add_argument("--d-lr", type=float, default=1e-4)
+    p.add_argument("--resume-from", type=str, default=None)
     args = p.parse_args(argv)
     r = train_inpaint(args.clean_dir, args.output, args.variant,
-                      args.img_size, args.batch_size, args.steps, args.lr)
-    print({"final_loss": r["final_loss"], "checkpoint": r["checkpoint"]})
+                      args.img_size, args.batch_size, args.steps, args.lr,
+                      gan=not args.no_gan, warmup_steps=args.warmup_steps,
+                      adv_weight=args.adv_weight, fm_weight=args.fm_weight,
+                      d_lr=args.d_lr, resume_from=args.resume_from)
+    print({"final_loss": r["final_loss"],
+           "final_hole_psnr": r["final_hole_psnr"],
+           "checkpoint": r["checkpoint"]})
 
 
 if __name__ == "__main__":
