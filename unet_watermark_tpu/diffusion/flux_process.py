@@ -91,6 +91,12 @@ class FluxProcessor:
 
         if mask is None or not (mask > 0).any():
             return image_bgr
+        # native latent diffusion before the non-generative fast fill
+        from .latent_diffusion import diffusion_inpaint_bgr
+
+        native = diffusion_inpaint_bgr(image_bgr, mask)
+        if native is not None:
+            return native
         rgb = cv2.cvtColor(image_bgr, cv2.COLOR_BGR2RGB).astype(
             np.float32) / 255.0
         padded, (h, w) = pad_to_multiple(rgb, 32)

@@ -108,6 +108,15 @@ class SDWatermarkRemover:
     # ---- repair ------------------------------------------------------------
     def _fallback_inpaint(self, image_bgr: np.ndarray,
                           mask: np.ndarray) -> np.ndarray:
+        # second rung: the native in-framework latent-diffusion engine
+        # (diffusion/latent_diffusion.py) — a REAL generative fill when
+        # diffusers can't load; fast push-pull only as the last resort
+        from .latent_diffusion import diffusion_inpaint_bgr
+
+        native = diffusion_inpaint_bgr(image_bgr, mask, steps=self.steps)
+        if native is not None:
+            return native
+
         import jax.numpy as jnp
 
         from ..inference.engines import get_engine
