@@ -1,0 +1,153 @@
+"""Procedural clean-image synthesis (zero-egress data source).
+
+The reference pipeline assumes a user-supplied folder of clean photos to
+composite watermarks onto (/root/reference/src/scripts/gen_data.py:23-56)
+and downloads pretrained inpainting weights at runtime
+(/root/reference/src/predict.py:771). A zero-egress TPU pod can do
+neither, so this module synthesizes natural-statistics images in-process:
+fractal value noise, smooth color gradients, and anti-aliased geometric
+content — enough structure (edges, textures, smooth regions) to train the
+self-supervised FFC inpainting model and to drive auto-train demos.
+
+CLI:
+    python -m unet_watermark_tpu.data.synth_clean --output data/clean \
+        --count 512 --size 512
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Tuple
+
+import numpy as np
+
+
+def _value_noise(rng: np.random.Generator, size: int, cells: int) -> np.ndarray:
+    """Single-octave smooth value noise (bicubic-ish upsampled grid)."""
+    import cv2
+
+    grid = rng.random((cells + 1, cells + 1), np.float32)
+    return cv2.resize(grid, (size, size), interpolation=cv2.INTER_CUBIC)
+
+
+def fractal_noise(rng: np.random.Generator, size: int,
+                  octaves: int = 4, persistence: float = 0.55) -> np.ndarray:
+    """Fractal (fBm) value noise in [0,1]."""
+    out = np.zeros((size, size), np.float32)
+    amp, total = 1.0, 0.0
+    for o in range(octaves):
+        cells = min(size // 2, 2 ** (o + 2))
+        out += amp * _value_noise(rng, size, cells)
+        total += amp
+        amp *= persistence
+    out /= total
+    lo, hi = out.min(), out.max()
+    return (out - lo) / max(hi - lo, 1e-6)
+
+
+def _random_palette(rng: np.random.Generator, n: int = 3) -> np.ndarray:
+    """n colors that are plausibly related (same hue family or complements)."""
+    base = rng.random(3)
+    cols = [base]
+    for _ in range(n - 1):
+        cols.append(np.clip(base + rng.normal(0, 0.35, 3), 0, 1))
+    return np.asarray(cols, np.float32)
+
+
+def _gradient_layer(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Smooth linear or radial color gradient, (size, size, 3) in [0,1]."""
+    c0, c1 = _random_palette(rng, 2)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    if rng.random() < 0.5:
+        ang = rng.random() * 2 * np.pi
+        t = (np.cos(ang) * xx + np.sin(ang) * yy + 1) / 2
+    else:
+        cx, cy = rng.random(2)
+        t = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
+        t /= max(t.max(), 1e-6)
+    return c0[None, None] * (1 - t[..., None]) + c1[None, None] * t[..., None]
+
+
+def _draw_shapes(rng: np.random.Generator, img: np.ndarray) -> np.ndarray:
+    """Anti-aliased geometric content: ellipses, polygons, thick lines."""
+    import cv2
+
+    size = img.shape[0]
+    out = (img * 255).astype(np.uint8)
+    for _ in range(rng.integers(2, 9)):
+        color = tuple(int(c) for c in rng.integers(0, 256, 3))
+        kind = rng.integers(0, 3)
+        if kind == 0:
+            center = tuple(int(v) for v in rng.integers(0, size, 2))
+            axes = tuple(int(v) for v in rng.integers(size // 20, size // 3, 2))
+            cv2.ellipse(out, center, axes, float(rng.integers(0, 180)),
+                        0, 360, color, -1, cv2.LINE_AA)
+        elif kind == 1:
+            pts = rng.integers(0, size, (rng.integers(3, 7), 2))
+            cv2.fillPoly(out, [pts.astype(np.int32)], color, cv2.LINE_AA)
+        else:
+            p0 = tuple(int(v) for v in rng.integers(0, size, 2))
+            p1 = tuple(int(v) for v in rng.integers(0, size, 2))
+            cv2.line(out, p0, p1, color,
+                     int(rng.integers(1, size // 24)), cv2.LINE_AA)
+    return out.astype(np.float32) / 255.0
+
+
+def synth_clean_image(rng: np.random.Generator, size: int = 512) -> np.ndarray:
+    """One procedural clean image, (size, size, 3) uint8 RGB."""
+    import cv2
+
+    style = rng.integers(0, 4)
+    base = _gradient_layer(rng, size)
+    if style != 1:  # textured background
+        noise = fractal_noise(rng, size, octaves=int(rng.integers(3, 6)))
+        cols = _random_palette(rng, 2)
+        tex = cols[0][None, None] * (1 - noise[..., None]) + \
+            cols[1][None, None] * noise[..., None]
+        w = rng.uniform(0.25, 0.8)
+        base = base * (1 - w) + tex * w
+    if style >= 2:  # geometric content on top
+        base = _draw_shapes(rng, base)
+    if rng.random() < 0.4:  # soft depth-of-field blur
+        k = 2 * int(rng.integers(1, 4)) + 1
+        base = cv2.GaussianBlur(base, (k, k), 0)
+    if rng.random() < 0.3:  # vignette
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size - 0.5
+        v = 1 - np.clip((xx ** 2 + yy ** 2) * rng.uniform(0.4, 1.2), 0, 0.5)
+        base = base * v[..., None]
+    return (np.clip(base, 0, 1) * 255).astype(np.uint8)
+
+
+def generate_clean_dataset(output_dir: str, count: int = 256,
+                           size: int = 512, seed: int = 0,
+                           quality: int = 95) -> int:
+    """Write `count` procedural clean JPGs; resumable (skips existing)."""
+    import cv2
+
+    os.makedirs(output_dir, exist_ok=True)
+    written = 0
+    for i in range(count):
+        path = os.path.join(output_dir, f"synth_{i:05d}.jpg")
+        if os.path.exists(path):
+            continue
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        img = synth_clean_image(rng, size)
+        cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                    [cv2.IMWRITE_JPEG_QUALITY, quality])
+        written += 1
+    return written
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="synthesize clean images")
+    p.add_argument("--output", required=True)
+    p.add_argument("--count", type=int, default=256)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    n = generate_clean_dataset(args.output, args.count, args.size, args.seed)
+    print(f"wrote {n} images to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

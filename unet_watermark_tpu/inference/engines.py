@@ -45,18 +45,27 @@ def _make_lama_engine(variant: str, weights_path: Optional[str]):
     model = create_lama(variant)
     variables = None
     if weights_path and os.path.exists(weights_path):
-        import orbax.checkpoint as ocp
-
-        ckptr = ocp.StandardCheckpointer()
         # a checkpoint trained as one variant serves the other engine names
         # too (the reference's lama/mat split is a quality knob, not a
         # weight format): try the requested depth first, fall back across
         # variants whose template matches the stored tree.
+        is_npz = os.path.isfile(weights_path) and weights_path.endswith(
+            ".npz")
+        if not is_npz:
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.StandardCheckpointer()
         for cand in dict.fromkeys((variant, "lama", "big-lama")):
             m = create_lama(cand)
             try:
-                variables = ckptr.restore(os.path.abspath(weights_path),
-                                          init_lama(m))
+                template = init_lama(m)
+                if is_npz:
+                    from ..utils.shipping import load_params_npz
+
+                    variables = load_params_npz(weights_path, template)
+                else:
+                    variables = ckptr.restore(
+                        os.path.abspath(weights_path), dict(template))
                 model = m
                 logger.info("loaded %s weights from %s (as '%s')",
                             variant, weights_path, cand)
@@ -81,12 +90,19 @@ def _make_lama_engine(variant: str, weights_path: Optional[str]):
 
 
 def default_inpaint_weights() -> Optional[str]:
-    """The shipped FFC-LaMa checkpoint: <repo>/models/lama_ffc (trained
-    in-framework by training/train_inpaint.py). None if absent."""
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    path = os.path.join(repo, "models", "lama_ffc")
-    return path if os.path.exists(path) else None
+    """The shipped FFC-LaMa checkpoint, trained in-framework by
+    training/train_inpaint.py. Checked in order:
+      1. unet_watermark_tpu/weights/lama_ffc  (tracked, ships with the repo)
+      2. <repo>/models/lama_ffc               (legacy round-1 location)
+    None if absent."""
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(pkg)
+    for path in (os.path.join(pkg, "weights", "lama_ffc.npz"),
+                 os.path.join(pkg, "weights", "lama_ffc"),
+                 os.path.join(repo, "models", "lama_ffc")):
+        if os.path.exists(path):
+            return path
+    return None
 
 
 def resolve_inpaint_weights(explicit: Optional[str] = None,

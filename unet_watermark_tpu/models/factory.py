@@ -108,10 +108,13 @@ class SMPModelFactory:
                      fused: bool = True,
                      decoder_impl: str = "canonical",
                      **kwargs) -> SegmentationModel:
-        if model_name not in SUPPORTED_MODELS:
+        canon = {k.lower(): k for k in SUPPORTED_MODELS}
+        canon["unet++"] = "UnetPlusPlus"
+        if model_name.lower() not in canon:
             raise ValueError(
                 f"unsupported model '{model_name}'. "
                 f"supported: {list(SUPPORTED_MODELS)}")
+        model_name = canon[model_name.lower()]
         get_encoder_channels(encoder_name)  # validate encoder early
         if in_channels != 3:
             raise NotImplementedError("in_channels != 3 not yet supported")

@@ -138,7 +138,8 @@ def train_inpaint(clean_dir: str, output_dir: str,
                   gan: bool = True, warmup_steps: int = 500,
                   adv_weight: float = 0.05, fm_weight: float = 10.0,
                   d_lr: float = 1e-4,
-                  resume_from: Optional[str] = None) -> Dict:
+                  resume_from: Optional[str] = None,
+                  snapshot_every: int = 0) -> Dict:
     """Adversarially-trained FFC inpainting (the real LaMa recipe minus
     the pretrained-HRF perceptual net, which a zero-egress pod cannot
     download): hole-weighted L1 + gradient consistency, plus — after an
@@ -150,11 +151,16 @@ def train_inpaint(clean_dir: str, output_dir: str,
     model = create_lama(variant)
     variables = init_lama(model, img_size=img_size, seed=seed)
     if resume_from:
-        import orbax.checkpoint as ocp
+        if resume_from.endswith(".npz"):
+            from ..utils.shipping import load_params_npz
 
-        ckptr = ocp.StandardCheckpointer()
-        variables = ckptr.restore(os.path.abspath(resume_from),
-                                  dict(variables))
+            variables = load_params_npz(resume_from, dict(variables))
+        else:
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.StandardCheckpointer()
+            variables = ckptr.restore(os.path.abspath(resume_from),
+                                      dict(variables))
         logger.info("resumed generator from %s", resume_from)
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
     opt_state = tx.init(variables["params"])
@@ -245,6 +251,14 @@ def train_inpaint(clean_dir: str, output_dir: str,
                 "step %d: g_loss=%.4f d_loss=%.4f hole_psnr=%.2f dB "
                 "(%.1f img/s)%s", i + 1, gl, dl, pv, rate,
                 " [gan]" if use_gan else " [warmup]")
+        if snapshot_every and (i + 1) % snapshot_every == 0:
+            from ..utils.shipping import save_params_npz
+
+            os.makedirs(os.path.dirname(os.path.abspath(output_dir)) or ".",
+                        exist_ok=True)
+            save_params_npz(os.path.abspath(output_dir) + ".snap.npz",
+                            {"params": params, "batch_stats": batch_stats})
+            logger.info("snapshot at step %d", i + 1)
 
     # save as an orbax checkpoint loadable by inference/engines.py
     import orbax.checkpoint as ocp
@@ -257,6 +271,14 @@ def train_inpaint(clean_dir: str, output_dir: str,
     ckptr.save(path, {"params": params, "batch_stats": batch_stats})
     ckptr.wait_until_finished()
     logger.info("inpaint weights saved: %s", path)
+    # compact distribution copy (bf16 .npz, ~half the orbax size) — the
+    # format shipped in-repo under unet_watermark_tpu/weights/
+    from ..utils.shipping import save_params_npz
+
+    npz_path = save_params_npz(path + ".npz",
+                               {"params": params,
+                                "batch_stats": batch_stats})
+    logger.info("shipping copy saved: %s", npz_path)
     final = history[-1] if history else {}
     return {"final_loss": final.get("g_loss"),
             "final_hole_psnr": final.get("hole_psnr"),
@@ -284,12 +306,14 @@ def main(argv=None):
     p.add_argument("--fm-weight", type=float, default=10.0)
     p.add_argument("--d-lr", type=float, default=1e-4)
     p.add_argument("--resume-from", type=str, default=None)
+    p.add_argument("--snapshot-every", type=int, default=0)
     args = p.parse_args(argv)
     r = train_inpaint(args.clean_dir, args.output, args.variant,
                       args.img_size, args.batch_size, args.steps, args.lr,
                       gan=not args.no_gan, warmup_steps=args.warmup_steps,
                       adv_weight=args.adv_weight, fm_weight=args.fm_weight,
-                      d_lr=args.d_lr, resume_from=args.resume_from)
+                      d_lr=args.d_lr, resume_from=args.resume_from,
+                      snapshot_every=args.snapshot_every)
     print({"final_loss": r["final_loss"],
            "final_hole_psnr": r["final_hole_psnr"],
            "checkpoint": r["checkpoint"]})
