@@ -89,23 +89,41 @@ def main():
         # branches on (predict.py:690 ratio rule)
         return jnp.sum(mask, axis=(1, 2, 3))
 
+    @jax.jit
+    def forward_chained(images):
+        """Timing step with a dependency chain: the next iteration's input
+        is perturbed by a data-dependent scalar, so no two dispatches are
+        identical — this environment's device tunnel dedups repeated
+        identical dispatches, which fakes microbenchmarks (see
+        docs/PERFORMANCE.md 'Measurement validity')."""
+        counts = forward(images)
+        # the perturbation must flip bits even after the model's bf16 cast
+        # (bf16 eps = 2^-8), else the dispatch content is identical and the
+        # tunnel dedups it; bounded drift: (1.004)^20 ≈ 8% over the run
+        scale = (1.0 + (jnp.sum(counts).astype(jnp.float32) % 0.003)
+                 + 0.004)
+        return images * scale, counts
+
     rng = np.random.default_rng(0)
     img_per_s = 0.0
     best_batch = 32
-    for batch in (32, 64):
+    gflop_per_img = 105.4  # XLA cost analysis, UNet++/resnet34 @512^2
+    for batch in (32, 64, 128):
         x = jnp.asarray(rng.random((batch, 512, 512, 3)), jnp.float32)
         t0 = time.time()
-        forward(x).block_until_ready()
+        x2, out = forward_chained(x)
+        jax.block_until_ready((x2, out))
         log(f"batch {batch} compile: {time.time() - t0:.1f}s")
         iters = 20
-        forward(x).block_until_ready()
         t0 = time.time()
         for _ in range(iters):
-            out = forward(x)
-        out.block_until_ready()
+            x, out = forward_chained(x)
+        jax.block_until_ready((x, out))
         dt = time.time() - t0
         rate = batch * iters / dt
-        log(f"batch {batch}: {rate:.1f} img/s ({dt / iters * 1e3:.1f} ms)")
+        mfu = rate * gflop_per_img / 1e3 / 197.0  # v5e bf16 peak 197 TF/s
+        log(f"batch {batch}: {rate:.1f} img/s ({dt / iters * 1e3:.1f} ms) "
+            f"MFU {mfu * 100:.1f}%")
         if rate > img_per_s:
             img_per_s = rate
             best_batch = batch
@@ -121,15 +139,26 @@ def main():
         predictor = WatermarkPredictor(model_path=None, config=cfg)
         predictor.variables = variables  # reuse initialized weights
         fused = predictor.make_fused_repair_fn(smooth_iterations=16)
+        engine_used = getattr(fused, "engine_used", "pushpull")
+
+        @jax.jit
+        def fused_chained(images):
+            # chain dispatches (tunnel dedups identical repeats — see
+            # forward_chained above)
+            out = fused(images)
+            scale = (1.0 + (jnp.mean(out).astype(jnp.float32) % 0.003)
+                     + 0.004)
+            return images * scale, out
+
         xb = x[:16] / 1.0
-        fused(xb).block_until_ready()
+        jax.block_until_ready(fused_chained(xb))
         t0 = time.time()
         for _ in range(5):
-            out2 = fused(xb)
-        out2.block_until_ready()
+            xb, out2 = fused_chained(xb)
+        jax.block_until_ready((xb, out2))
         per_img_ms = (time.time() - t0) / 5 / 16 * 1e3
-        log(f"fused mask+inpaint e2e: {per_img_ms:.1f} ms/img "
-            f"({16e3 / per_img_ms / 1e3 * 1e3:.0f} img/s) — "
+        log(f"fused mask+inpaint e2e [{engine_used}]: {per_img_ms:.1f} "
+            f"ms/img ({1e3 / per_img_ms:.0f} img/s) — "
             f"vs CPU-LaMa ~2000-10000 ms/img")
     except Exception as e:  # noqa: BLE001
         log(f"fused e2e bench skipped: {e}")

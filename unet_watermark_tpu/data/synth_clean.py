@@ -138,14 +138,87 @@ def generate_clean_dataset(output_dir: str, count: int = 256,
     return written
 
 
+def synth_logo(rng: np.random.Generator, size: int = 256) -> np.ndarray:
+    """One procedural RGBA logo: geometric emblem + optional text strip.
+    Feeds gen_data.load_watermarks the way user logo assets do
+    (/root/reference/src/scripts/gen_data.py:23-56)."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    img = Image.new("RGBA", (size, size), (0, 0, 0, 0))
+    dr = ImageDraw.Draw(img)
+    color = tuple(int(c) for c in rng.integers(40, 256, 3)) + (
+        int(rng.integers(140, 256)),)
+    kind = rng.integers(0, 4)
+    m = size // 5
+    if kind == 0:    # ring
+        w = int(rng.integers(size // 16, size // 6))
+        dr.ellipse([m, m, size - m, size - m], outline=color, width=w)
+    elif kind == 1:  # solid polygon
+        n_pts = int(rng.integers(3, 8))
+        ang0 = rng.random() * 2 * np.pi
+        pts = [(size / 2 + (size / 2 - m) * np.cos(ang0 + 2 * np.pi * i / n_pts),
+                size / 2 + (size / 2 - m) * np.sin(ang0 + 2 * np.pi * i / n_pts))
+               for i in range(n_pts)]
+        dr.polygon(pts, fill=color)
+    elif kind == 2:  # crossed bars
+        w = int(rng.integers(size // 12, size // 5))
+        dr.rectangle([m, size // 2 - w // 2, size - m, size // 2 + w // 2],
+                     fill=color)
+        dr.rectangle([size // 2 - w // 2, m, size // 2 + w // 2, size - m],
+                     fill=color)
+    else:            # letters
+        try:
+            font = ImageFont.truetype(
+                "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
+                size // 2)
+        except OSError:
+            font = ImageFont.load_default()
+        text = "".join(chr(int(rng.integers(65, 91)))
+                       for _ in range(int(rng.integers(2, 4))))
+        dr.text((size // 6, size // 4), text, fill=color, font=font)
+    if rng.random() < 0.5:  # text strip under the emblem
+        try:
+            font = ImageFont.truetype(
+                "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", size // 8)
+            word = "".join(chr(int(rng.integers(97, 123)))
+                           for _ in range(int(rng.integers(4, 9))))
+            dr.text((size // 6, size - size // 6), word, fill=color,
+                    font=font)
+        except OSError:
+            pass
+    return np.asarray(img)
+
+
+def generate_logo_set(output_dir: str, count: int = 24,
+                      size: int = 256, seed: int = 0) -> int:
+    from PIL import Image
+
+    os.makedirs(output_dir, exist_ok=True)
+    written = 0
+    for i in range(count):
+        path = os.path.join(output_dir, f"logo_{i:03d}.png")
+        if os.path.exists(path):
+            continue
+        rng = np.random.default_rng(seed * 7_000_003 + i)
+        Image.fromarray(synth_logo(rng, size)).save(path)
+        written += 1
+    return written
+
+
 def main(argv=None):
-    p = argparse.ArgumentParser(description="synthesize clean images")
+    p = argparse.ArgumentParser(description="synthesize clean images/logos")
     p.add_argument("--output", required=True)
     p.add_argument("--count", type=int, default=256)
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--logos", action="store_true",
+                   help="generate RGBA logo assets instead of clean images")
     args = p.parse_args(argv)
-    n = generate_clean_dataset(args.output, args.count, args.size, args.seed)
+    if args.logos:
+        n = generate_logo_set(args.output, args.count, args.size, args.seed)
+    else:
+        n = generate_clean_dataset(args.output, args.count, args.size,
+                                   args.seed)
     print(f"wrote {n} images to {args.output}")
 
 

@@ -55,6 +55,22 @@ logger = logging.getLogger(__name__)
 IMAGE_EXTS = ("jpg", "jpeg", "png", "bmp", "tiff", "webp")
 
 
+def default_seg_weights(cfg) -> Optional[str]:
+    """Shipped trained segmentation weights for the configured arch, or
+    None. The reference assumes a user-supplied models/*.pth; a fresh
+    clone of this repo carries bf16 .npz weights for the flagship under
+    unet_watermark_tpu/weights/ (utils/shipping.py format). Override
+    with the PREDICT_SEG_WEIGHTS env var."""
+    from ..utils.shipping import seg_weights_filename
+
+    env = os.environ.get("PREDICT_SEG_WEIGHTS")
+    if env:
+        return env if os.path.exists(env) else None
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(pkg, "weights", seg_weights_filename(cfg))
+    return path if os.path.exists(path) else None
+
+
 @functools.lru_cache(maxsize=8)
 def _connectivity_batch_fn(min_area: int, connectivity: int):
     """Jitted vmapped small-component filter (one compile per shape)."""
@@ -94,7 +110,15 @@ class WatermarkPredictor:
         if state is not None:
             return {"params": state.params, "batch_stats": state.batch_stats}
         if model_path is None:
-            logger.warning("no model weights given — using random init")
+            model_path = default_seg_weights(self.cfg)
+            if model_path is None:
+                logger.warning("no model weights given — using random init")
+                return variables
+            logger.info("using shipped default weights: %s", model_path)
+        if model_path.endswith(".npz"):
+            from ..utils.shipping import load_params_npz
+            variables = load_params_npz(model_path, variables)
+            self.model_info = {"epoch": "shipped", "val_loss": "see npz"}
             return variables
         if not os.path.exists(model_path):
             raise FileNotFoundError(f"model not found: {model_path}")

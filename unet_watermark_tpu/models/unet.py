@@ -63,6 +63,45 @@ def up_conv(x_low: jax.Array, w3: jax.Array) -> jax.Array:
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+def _even_spatial(x: jax.Array, min_side: int = 64) -> bool:
+    return (x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+            and min(x.shape[1], x.shape[2]) >= min_side)
+
+
+def smart_conv3x3(x: jax.Array, w3: jax.Array,
+                  lowering: str = "auto") -> jax.Array:
+    """Stride-1 SAME 3x3 conv with a selectable lowering.
+
+    "auto" resolves to the direct conv: the phase-space (s2d) lowering
+    was built on an executed-MAC model (ops/s2d_conv.py) but LOSES on
+    the real chip — full-model A/B on TPU v5e @512², direct vs s2d:
+    457/471/1162 img/s vs 173/202/461 at batch 32/64/128
+    (workspace/exp_ab_s2d.py). The transform's pad+transpose data
+    movement and runtime weight expansion cost more than the MXU
+    lane-padding they avoid. "s2d" stays as an explicit opt-in
+    (exact, tested in tests/test_s2d_conv.py)."""
+    from ..ops import s2d_conv
+
+    lowering = s2d_conv.LOWERING_OVERRIDE or lowering
+    if lowering == "s2d":
+        return s2d_conv.s2d_conv3x3(x, w3)
+    return jax.lax.conv_general_dilated(
+        x, w3, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def smart_up_conv(x_low: jax.Array, w3: jax.Array,
+                  lowering: str = "auto") -> jax.Array:
+    """conv3x3(nearest_up2x(x), SAME); lowering as in smart_conv3x3
+    ("auto" = lhs-dilated direct, "s2d" = explicit phase-space)."""
+    from ..ops import s2d_conv
+
+    lowering = s2d_conv.LOWERING_OVERRIDE or lowering
+    if lowering == "s2d":
+        return s2d_conv.s2d_upconv3x3(x_low, fuse_up_kernel(w3))
+    return up_conv(x_low, w3)
+
+
 class SplitUpConcatConv(nn.Module):
     """Conv over concat(skips..., nearest_up(x_low)) without materializing
     either the upsample or the concat.
@@ -77,6 +116,7 @@ class SplitUpConcatConv(nn.Module):
     channels: int
     dtype: Any = jnp.bfloat16
     up_first: bool = False  # kernel channel order: [Cin|Cs] vs [Cs|Cin]
+    lowering: str = "auto"  # auto | direct | s2d (phase-space thin convs)
 
     @nn.compact
     def __call__(self, x_low, skip_cat: Optional[jax.Array]):
@@ -89,12 +129,10 @@ class SplitUpConcatConv(nn.Module):
             wx, ws = kernel[:, :, :cin], kernel[:, :, cin:]
         else:
             ws, wx = kernel[:, :, :cs], kernel[:, :, cs:]
-        y = up_conv(x_low.astype(self.dtype), wx)
+        y = smart_up_conv(x_low.astype(self.dtype), wx, self.lowering)
         if cs:
-            y = y + jax.lax.conv_general_dilated(
-                skip_cat.astype(self.dtype), ws, (1, 1),
-                [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y + smart_conv3x3(skip_cat.astype(self.dtype), ws,
+                                  self.lowering)
         return y
 
 
@@ -105,28 +143,52 @@ class FusedUpConvBnRelu(nn.Module):
     channels: int
     dtype: Any = jnp.bfloat16
     up_first: bool = False
+    lowering: str = "auto"
 
     @nn.compact
     def __call__(self, x_low, skip_cat, train: bool = False):
         y = SplitUpConcatConv(self.channels, dtype=self.dtype,
                               up_first=self.up_first,
+                              lowering=self.lowering,
                               name="conv")(x_low, skip_cat)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn")(y)
         return nn.relu(y)
 
 
+class SmartConv(nn.Module):
+    """3x3 stride-1 conv with auto phase-space lowering; parameter tree
+    identical to nn.Conv(use_bias=False) so checkpoints interchange."""
+
+    channels: int
+    dtype: Dtype = jnp.bfloat16
+    lowering: str = "auto"
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.channels),
+            jnp.float32).astype(self.dtype)
+        return smart_conv3x3(x.astype(self.dtype), kernel, self.lowering)
+
+
 class ConvBnRelu(nn.Module):
     channels: int
     kernel: int = 3
     dtype: Dtype = jnp.bfloat16
+    lowering: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        pad = self.kernel // 2
-        x = nn.Conv(self.channels, (self.kernel, self.kernel),
-                    padding=[(pad, pad), (pad, pad)], use_bias=False,
-                    dtype=self.dtype, name="conv")(x)
+        if self.kernel == 3:
+            x = SmartConv(self.channels, dtype=self.dtype,
+                          lowering=self.lowering, name="conv")(x)
+        else:
+            pad = self.kernel // 2
+            x = nn.Conv(self.channels, (self.kernel, self.kernel),
+                        padding=[(pad, pad), (pad, pad)], use_bias=False,
+                        dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)

@@ -364,3 +364,15 @@ def _export_pth(cfg: Config, state: TrainState, meta: Dict[str, Any]) -> None:
                    epoch=meta["epoch"], best_val_loss=meta["best_val_loss"])
     except Exception as e:  # noqa: BLE001
         logger.warning(".pth export skipped: %s", e)
+    try:
+        # compact bf16 .npz beside the .pth — the shipped-weights format
+        # inference/predict.py:default_seg_weights resolves from
+        # unet_watermark_tpu/weights/ on a fresh clone
+        from ..utils.shipping import save_params_npz, seg_weights_filename
+        npz_path = os.path.join(
+            os.path.dirname(os.path.abspath(cfg.TRAIN.MODEL_SAVE_PATH)),
+            seg_weights_filename(cfg))
+        save_params_npz(npz_path, {"params": state.params,
+                                   "batch_stats": state.batch_stats})
+    except Exception as e:  # noqa: BLE001
+        logger.warning(".npz shipping export skipped: %s", e)

@@ -18,6 +18,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def seg_weights_filename(cfg) -> str:
+    """Canonical shipped-weights filename for a segmentation config —
+    shared by the trainer's export and the predictor's default lookup."""
+    return (f"seg_{cfg.MODEL.NAME.lower().replace('+', 'p')}_"
+            f"{cfg.MODEL.ENCODER_NAME.lower()}.npz")
+
+
 def _keystr(path) -> str:
     return "/".join(
         str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
