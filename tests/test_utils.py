@@ -53,6 +53,18 @@ def test_memory_manager_snapshot_and_pressure():
     assert get_global_memory_manager() is get_global_memory_manager()
 
 
+def test_log_memory_usage(caplog):
+    import logging
+
+    from unet_watermark_tpu.utils.memory import log_memory_usage
+
+    with caplog.at_level(logging.INFO,
+                         logger="unet_watermark_tpu.utils.memory"):
+        snap = log_memory_usage("unit")
+    assert snap.host_total > 0
+    assert any("unit memory:" in r.message for r in caplog.records)
+
+
 def test_compiled_memory_bytes():
     f = jax.jit(lambda x: x * 2 + 1)
     x = jnp.zeros((128, 128))

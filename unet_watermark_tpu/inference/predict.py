@@ -717,7 +717,10 @@ class WatermarkPredictor:
             try:
                 image_path = fi.get("image_path", fi["original_path"])
                 stem = os.path.splitext(os.path.basename(image_path))[0]
-                wm = cv2.imread(fi["mask_path"], cv2.IMREAD_GRAYSCALE)
+                mask_path = fi.get("mask_path")
+                if not mask_path or not os.path.exists(mask_path):
+                    continue  # skipped in step1 (no watermark detected)
+                wm = cv2.imread(mask_path, cv2.IMREAD_GRAYSCALE)
                 if wm is None:
                     continue
                 out = wm.copy()

@@ -288,7 +288,9 @@ def train_inpaint(clean_dir: str, output_dir: str,
 def main(argv=None):
     from ..utils.jaxtools import enable_compile_cache
 
-    logging.basicConfig(level=logging.INFO)
+    # force=True: the axon plugin import already installs a root handler
+    # at WARNING, which makes a plain basicConfig a silent no-op
+    logging.basicConfig(level=logging.INFO, force=True)
     enable_compile_cache()
     p = argparse.ArgumentParser(description="train FFC inpainting model")
     p.add_argument("--clean-dir", required=True)

@@ -206,3 +206,19 @@ def get_global_memory_manager() -> TPUMemoryManager:
     if _GLOBAL is None:
         _GLOBAL = TPUMemoryManager()
     return _GLOBAL
+
+
+def log_memory_usage(prefix: str = "") -> MemorySnapshot:
+    """One-shot usage line (cuda_monitor.py:247-260 analog): device HBM
+    and host RAM percentages at INFO, plus the pressure level when it is
+    above 'ok'. Returns the snapshot for programmatic use."""
+    mgr = get_global_memory_manager()
+    snap = mgr.snapshot()
+    level = mgr.check_memory_pressure()
+    logger.info(
+        "%smemory: device %.2f/%.2f GB (%.1f%%), host %.1f%%%s",
+        f"{prefix} " if prefix else "",
+        snap.device_bytes_in_use / 1024**3,
+        snap.device_bytes_limit / 1024**3, snap.device_percent,
+        snap.host_percent, f" [{level}]" if level != "ok" else "")
+    return snap
