@@ -59,6 +59,9 @@ class AugmentPolicy:
     gamma_limit: Tuple[float, float] = (0.8, 1.2)
     jpeg_p: float = 0.0
     jpeg_quality: Tuple[float, float] = (60.0, 100.0)
+    # "nearest" (default): 1-gather warp, ~4x cheaper on TPU; "bilinear"
+    # opt-in for sub-pixel fidelity (see _nearest_sample docstring)
+    interpolation: str = "nearest"
 
 
 POLICIES = {
@@ -130,13 +133,34 @@ def _bilinear_sample(img: Array, src_y: Array, src_x: Array) -> Array:
     wy = (src_y - y0)[..., None]
     wx = (src_x - x0)[..., None]
     y0i, y1i, x0i, x1i = (v.astype(jnp.int32) for v in (y0, y1, x0, x1))
-    v00 = img[y0i, x0i]
-    v01 = img[y0i, x1i]
-    v10 = img[y1i, x0i]
-    v11 = img[y1i, x1i]
+    flat = img.reshape(h * w, -1)
+    v00 = jnp.take(flat, y0i * w + x0i, axis=0)
+    v01 = jnp.take(flat, y0i * w + x1i, axis=0)
+    v10 = jnp.take(flat, y1i * w + x0i, axis=0)
+    v11 = jnp.take(flat, y1i * w + x1i, axis=0)
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     return top * (1 - wy) + bot * wy
+
+
+def _nearest_sample(img: Array, src_y: Array, src_x: Array) -> Array:
+    """Nearest-neighbor warp: ONE gather instead of bilinear's four.
+    TPU gathers of thin [C]-rows run at ~2% lane utilization, so the
+    warp cost is proportional to gather count — measured 1,177 ms of a
+    1,200 ms augmentation step went to the bilinear affine at 512²x32
+    (workspace/exp_aug_ablate.py). Augmentation does not need sub-pixel
+    fidelity; masks are thresholded anyway."""
+    h, w = img.shape[0], img.shape[1]
+
+    def reflect(v, n):
+        period = 2 * (n - 1)
+        v = jnp.abs(v) % period
+        return jnp.where(v >= n, period - v, v)
+
+    yi = jnp.clip(jnp.round(reflect(src_y, h)), 0, h - 1).astype(jnp.int32)
+    xi = jnp.clip(jnp.round(reflect(src_x, w)), 0, w - 1).astype(jnp.int32)
+    flat = img.reshape(h * w, -1)
+    return jnp.take(flat, yi * w + xi, axis=0)
 
 
 def _hsv_shift(img: Array, dh: Array, ds: Array, dv: Array) -> Array:
@@ -247,62 +271,79 @@ def augment_sample(key: Array, image: Array, mask: Array,
     h, w = image.shape[0], image.shape[1]
 
     # --- geometric (image + mask together) ---
-    do_h = jax.random.uniform(keys[0]) < policy.hflip_p
-    image = jnp.where(do_h, image[:, ::-1], image)
-    mask = jnp.where(do_h, mask[:, ::-1], mask)
+    # static `p > 0` guards keep disabled ops out of the graph entirely
+    # (a policy is a static dataclass, so these are trace-time branches)
+    if policy.hflip_p > 0:
+        do_h = jax.random.uniform(keys[0]) < policy.hflip_p
+        image = jnp.where(do_h, image[:, ::-1], image)
+        mask = jnp.where(do_h, mask[:, ::-1], mask)
 
-    do_v = jax.random.uniform(keys[1]) < policy.vflip_p
-    image = jnp.where(do_v, image[::-1], image)
-    mask = jnp.where(do_v, mask[::-1], mask)
+    if policy.vflip_p > 0:
+        do_v = jax.random.uniform(keys[1]) < policy.vflip_p
+        image = jnp.where(do_v, image[::-1], image)
+        mask = jnp.where(do_v, mask[::-1], mask)
 
-    do_r = jax.random.uniform(keys[2]) < policy.rot90_p
-    k_r = jax.random.randint(keys[3], (), 0, 4)
-    if h == w:  # rot90 only valid for square inputs (always true here)
-        img_rots = jnp.stack([image, jnp.rot90(image), jnp.rot90(image, 2),
-                              jnp.rot90(image, 3)])
-        msk_rots = jnp.stack([mask, jnp.rot90(mask), jnp.rot90(mask, 2),
-                              jnp.rot90(mask, 3)])
-        image = jnp.where(do_r, img_rots[k_r], image)
-        mask = jnp.where(do_r, msk_rots[k_r], mask)
+    # rot90 is folded into the affine warp below: R(a)·R(90k) = R(a+90k)
+    # (the grid composes ...·Rot rightmost), and nearest sampling at an
+    # exact multiple of 90° about the (N-1)/2 center lands on integer
+    # coordinates, so the fold is bit-exact rot90. This removes the
+    # 4-way rotation stack + dynamic index that dominated the augment
+    # step once the warp itself was cheap (workspace/exp_aug_ablate*).
+    rot90_deg = 0.0
+    if h == w and policy.rot90_p > 0:
+        do_r = jax.random.uniform(keys[2]) < policy.rot90_p
+        k_r = jax.random.randint(keys[3], (), 1, 4)
+        rot90_deg = jnp.where(do_r, 90.0 * k_r, 0.0)
 
-    do_a = jax.random.uniform(keys[4]) < policy.affine_p
-    scale = 1.0 + jax.random.uniform(keys[5], minval=-policy.scale_limit,
-                                     maxval=policy.scale_limit)
-    angle = jax.random.uniform(keys[6], minval=-policy.rotate_limit,
-                               maxval=policy.rotate_limit)
-    shear = jax.random.uniform(keys[7], minval=-policy.shear_limit,
-                               maxval=policy.shear_limit)
-    shift = jax.random.uniform(keys[8], (2,), minval=-policy.shift_limit,
-                               maxval=policy.shift_limit)
-    scale = jnp.where(do_a, scale, 1.0)
-    angle = jnp.where(do_a, angle, 0.0)
-    shear = jnp.where(do_a, shear, 0.0)
-    shift = jnp.where(do_a, shift, jnp.zeros(2))
-    src_y, src_x = _affine_grid(h, w, scale, angle, shear, shift)
-    image = _bilinear_sample(image, src_y, src_x)
-    mask = (_bilinear_sample(mask, src_y, src_x) > 0.5).astype(jnp.float32)
+    if policy.affine_p > 0 or (h == w and policy.rot90_p > 0):
+        do_a = jax.random.uniform(keys[4]) < policy.affine_p
+        scale = 1.0 + jax.random.uniform(keys[5], minval=-policy.scale_limit,
+                                         maxval=policy.scale_limit)
+        angle = jax.random.uniform(keys[6], minval=-policy.rotate_limit,
+                                   maxval=policy.rotate_limit)
+        shear = jax.random.uniform(keys[7], minval=-policy.shear_limit,
+                                   maxval=policy.shear_limit)
+        shift = jax.random.uniform(keys[8], (2,), minval=-policy.shift_limit,
+                                   maxval=policy.shift_limit)
+        scale = jnp.where(do_a, scale, 1.0)
+        angle = jnp.where(do_a, angle, 0.0) + rot90_deg
+        shear = jnp.where(do_a, shear, 0.0)
+        shift = jnp.where(do_a, shift, jnp.zeros(2))
+        src_y, src_x = _affine_grid(h, w, scale, angle, shear, shift)
+        # one warp over concat(image, mask): shares the gathers (mask
+        # corners are identical indices), then split back
+        both = jnp.concatenate([image, mask], axis=-1)
+        if policy.interpolation == "nearest":
+            both = _nearest_sample(both, src_y, src_x)
+        else:
+            both = _bilinear_sample(both, src_y, src_x)
+        image = both[..., :3]
+        mask = (both[..., 3:] > 0.5).astype(jnp.float32)
 
     # --- photometric (image only) ---
-    kb = jax.random.split(keys[9], 4)
-    do_bc = jax.random.uniform(kb[0]) < policy.bc_p
-    brightness = jax.random.uniform(kb[1], minval=-policy.brightness_limit,
-                                    maxval=policy.brightness_limit)
-    contrast = jax.random.uniform(kb[2], minval=-policy.contrast_limit,
-                                  maxval=policy.contrast_limit)
-    img_bc = jnp.clip((image + brightness * jnp.where(do_bc, 1.0, 0.0)) *
-                      (1.0 + contrast * jnp.where(do_bc, 1.0, 0.0)), 0, 1)
-    image = img_bc
+    if policy.bc_p > 0:
+        kb = jax.random.split(keys[9], 4)
+        do_bc = jax.random.uniform(kb[0]) < policy.bc_p
+        brightness = jax.random.uniform(kb[1],
+                                        minval=-policy.brightness_limit,
+                                        maxval=policy.brightness_limit)
+        contrast = jax.random.uniform(kb[2], minval=-policy.contrast_limit,
+                                      maxval=policy.contrast_limit)
+        image = jnp.clip(
+            (image + brightness * jnp.where(do_bc, 1.0, 0.0)) *
+            (1.0 + contrast * jnp.where(do_bc, 1.0, 0.0)), 0, 1)
 
-    kh = jax.random.split(keys[10], 4)
-    do_hsv = jax.random.uniform(kh[0]) < policy.hsv_p
-    dh = jax.random.uniform(kh[1], minval=-policy.hue_limit,
-                            maxval=policy.hue_limit)
-    ds = jax.random.uniform(kh[2], minval=-policy.sat_limit,
-                            maxval=policy.sat_limit)
-    dv = jax.random.uniform(kh[3], minval=-policy.val_limit,
-                            maxval=policy.val_limit)
-    img_hsv = _hsv_shift(image, dh, ds, dv)
-    image = jnp.where(do_hsv, img_hsv, image)
+    if policy.hsv_p > 0:
+        kh = jax.random.split(keys[10], 4)
+        do_hsv = jax.random.uniform(kh[0]) < policy.hsv_p
+        dh = jax.random.uniform(kh[1], minval=-policy.hue_limit,
+                                maxval=policy.hue_limit)
+        ds = jax.random.uniform(kh[2], minval=-policy.sat_limit,
+                                maxval=policy.sat_limit)
+        dv = jax.random.uniform(kh[3], minval=-policy.val_limit,
+                                maxval=policy.val_limit)
+        img_hsv = _hsv_shift(image, dh, ds, dv)
+        image = jnp.where(do_hsv, img_hsv, image)
 
     kn = jax.random.split(keys[11], 5)
     if policy.noise_p > 0:
