@@ -99,9 +99,13 @@ def main():
         counts = forward(images)
         # the perturbation must flip bits even after the model's bf16 cast
         # (bf16 eps = 2^-8), else the dispatch content is identical and the
-        # tunnel dedups it; bounded drift: (1.004)^20 ≈ 8% over the run
-        scale = (1.0 + (jnp.sum(counts).astype(jnp.float32) % 0.003)
-                 + 0.004)
+        # tunnel dedups it. Mod a bounded quantity — the mean mask ratio in
+        # [0,1] — not the raw pixel count (~1e5-1e7, where float32 ulp
+        # exceeds the 0.003 modulus and the fmod result is noise); bounded
+        # drift: (1.004)^20 ≈ 8% over the run.
+        ratio = jnp.sum(counts).astype(jnp.float32) / (
+            images.shape[0] * images.shape[1] * images.shape[2])
+        scale = 1.0 + ratio % 0.003 + 0.004
         return images * scale, counts
 
     rng = np.random.default_rng(0)
@@ -146,6 +150,7 @@ def main():
             # chain dispatches (tunnel dedups identical repeats — see
             # forward_chained above)
             out = fused(images)
+            # mean is already in [0,1] so the fmod is well-conditioned
             scale = (1.0 + (jnp.mean(out).astype(jnp.float32) % 0.003)
                      + 0.004)
             return images * scale, out

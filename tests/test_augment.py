@@ -109,3 +109,52 @@ def test_jpeg_against_real_codec():
     assert errs_real[0] > errs_real[1] > errs_real[2]
     assert errs_ours[0] > errs_ours[1] > errs_ours[2]
     assert errs_ours[0] > 0.005  # q=10 produces visible artifacts
+
+
+def test_rot90_fold_is_exact_rot90():
+    """The rot90-folded warp (nearest sampling at exact 90° multiples
+    about the (N-1)/2 center) must be BIT-exact rot90. Grid convention
+    mirrors direction: +90·k degrees == jnp.rot90(x, k=(4-k)%4)."""
+    x = jnp.asarray(np.random.default_rng(5).random((16, 16, 3)),
+                    jnp.float32)
+    for k in (1, 2, 3):
+        sy, sx = aug._affine_grid(16, 16, jnp.float32(1.0),
+                                  jnp.float32(90.0 * k), jnp.float32(0.0),
+                                  jnp.zeros(2))
+        out = np.asarray(aug._nearest_sample(x, sy, sx))
+        assert np.array_equal(out, np.rot90(np.asarray(x), k=(4 - k) % 4)), k
+
+
+def test_nearest_sampling_creates_no_new_values():
+    """Nearest interpolation must only permute existing pixels (mask
+    binarity depends on this); bilinear is allowed to blend."""
+    x = jnp.asarray(
+        np.random.default_rng(7).integers(0, 5, (12, 12, 1)), jnp.float32)
+    sy, sx = aug._affine_grid(12, 12, jnp.float32(1.1), jnp.float32(33.0),
+                              jnp.float32(5.0), jnp.asarray([0.05, -0.03]))
+    near = np.asarray(aug._nearest_sample(x, sy, sx))
+    assert set(np.unique(near)).issubset(set(np.unique(np.asarray(x))))
+    bil = np.asarray(aug._bilinear_sample(x, sy, sx))
+    assert not set(np.unique(bil)).issubset(set(np.unique(np.asarray(x))))
+
+
+def test_rot90_probability_semantics():
+    """Documented round-2 semantics: k is drawn from {1,2,3}, so when
+    rot90 fires the image always actually rotates — a firing rot90 with
+    rot90_p=1 must never return the identity for an asymmetric image."""
+    import dataclasses
+
+    policy = dataclasses.replace(
+        aug.POLICIES["basic"], hflip_p=0.0, vflip_p=0.0, rot90_p=1.0,
+        affine_p=0.0, bc_p=0.0, noise_p=0.0, blur_p=0.0,
+        jpeg_p=0.0, hsv_p=0.0, gamma_p=0.0)
+    img = jnp.zeros((8, 8, 3), jnp.float32).at[0, :, :].set(1.0)
+    mask = jnp.zeros((8, 8, 1), jnp.float32).at[0, :, :].set(1.0)
+    for seed in range(8):
+        key = jax.random.PRNGKey(seed)
+        oi, om = aug.augment_batch(key, img[None], mask[None], policy,
+                                   apply_normalize=False)
+        assert not np.array_equal(np.asarray(oi[0]), np.asarray(img)), seed
+        # image and mask rotate together
+        assert np.array_equal(np.asarray(oi[0, ..., 0]),
+                              np.asarray(om[0, ..., 0])), seed

@@ -101,14 +101,37 @@ def test_pipeline_no_unet_no_ocr(predictor, input_folder, tmp_path):
     assert len(finals) == stats["total_images"]
 
 
-def test_fused_repair_fn(predictor):
+def test_fused_repair_fn(predictor, monkeypatch):
+    """With the shipped LaMa weights present (they ship in-repo), the
+    fused graph MUST compile the learned FFC engine — asserting
+    engine_used is the check that would have caught the round-2 bug
+    where an orbax-only restore silently dropped the .npz and the
+    flagship bench ran push-pull."""
+    monkeypatch.delenv("PREDICT_INPAINT_WEIGHTS", raising=False)
+    from unet_watermark_tpu.utils import shipping
+
+    assert shipping.resolve("inpaint") is not None, \
+        "shipped lama_ffc.npz missing"
     fused = predictor.make_fused_repair_fn()
+    assert fused.engine_used == "ffc-lama", fused.engine_used
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
     out = np.asarray(fused(x))
     assert out.shape == (2, 64, 64, 3)
     assert np.isfinite(out).all()
     assert out.min() >= 0 and out.max() <= 1
+
+
+def test_fused_repair_fn_pushpull_fallback(predictor, monkeypatch):
+    """Point the resolver at a nonexistent checkpoint: the fused path
+    must fall back to push-pull and say so."""
+    monkeypatch.setenv("PREDICT_INPAINT_WEIGHTS", "/nonexistent/w.npz")
+    fused = predictor.make_fused_repair_fn()
+    assert fused.engine_used == "pushpull"
+    x = jnp.asarray(np.random.default_rng(1).random((1, 64, 64, 3)),
+                    jnp.float32)
+    out = np.asarray(fused(x))
+    assert np.isfinite(out).all()
 
 
 def test_builtin_ocr_finds_rendered_text(tmp_path):

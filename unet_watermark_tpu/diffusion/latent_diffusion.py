@@ -187,10 +187,13 @@ class LatentDenoiser(nn.Module):
 # ---------------------------------------------------------------------------
 
 def default_weights_path() -> Optional[str]:
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    path = os.path.join(repo, "models", "latent_diffusion")
-    return path if os.path.exists(path) else None
+    """Shipped weights via the unified registry (utils/shipping.resolve):
+    unet_watermark_tpu/weights/latent_diffusion.npz first — the same
+    convention as the LaMa weights — then the legacy
+    <repo>/models/latent_diffusion orbax dir."""
+    from ..utils.shipping import resolve
+
+    return resolve("diffusion")
 
 
 class LatentInpainter:
@@ -198,19 +201,17 @@ class LatentInpainter:
     hole-fill as one jitted graph per (batch, size, steps)."""
 
     def __init__(self, weights_path: Optional[str] = None):
-        path = weights_path or os.environ.get(
-            "DIFFUSION_WEIGHTS") or default_weights_path()
+        from ..utils.shipping import load_variables, resolve
+
+        path = resolve("diffusion", explicit=weights_path)
         if not path or not os.path.exists(path):
             raise FileNotFoundError(
                 "no latent-diffusion weights; train with "
                 "training/train_latent_diffusion.py")
-        import orbax.checkpoint as ocp
-
         self.ae = TinyAutoencoder()
         self.denoiser = LatentDenoiser()
         template = init_ld_variables(self.ae, self.denoiser, img_size=64)
-        self.variables = ocp.StandardCheckpointer().restore(
-            os.path.abspath(path), template)
+        self.variables = load_variables(path, template)
         self._jitted: Dict = {}
 
     def _sampler(self, steps: int):
@@ -283,7 +284,7 @@ def init_ld_variables(ae: TinyAutoencoder, denoiser: LatentDenoiser,
 
 def available() -> bool:
     """True if trained native diffusion weights are shipped/resolvable."""
-    path = os.environ.get("DIFFUSION_WEIGHTS") or default_weights_path()
+    path = default_weights_path()  # registry already honors DIFFUSION_WEIGHTS
     return bool(path and os.path.exists(path))
 
 

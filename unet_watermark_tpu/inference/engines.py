@@ -39,42 +39,39 @@ def _pushpull_jit(smooth_iterations: int = 64):
         im, mk, smooth_iterations=smooth_iterations))
 
 
-def _make_lama_engine(variant: str, weights_path: Optional[str]):
+def load_lama_variables(weights_path: str, variant: str = "lama"):
+    """Load an FFC-LaMa checkpoint (bf16 .npz or orbax dir — the format
+    split is handled by utils/shipping.load_variables) into whichever
+    lama variant's parameter tree matches. A checkpoint trained as one
+    variant serves the other engine names too (the reference's lama/mat
+    split is a quality knob, not a weight format): the requested depth is
+    tried first, then the others. Returns (model, variables, name) or
+    (None, None, None) when no variant's template matches.
+
+    This is the ONE lama-weights code path — shared by get_engine and the
+    fused repair graph (predict.make_fused_repair_fn), so the two can
+    never disagree about what loads (the round-2 bug: the fused path had
+    its own orbax-only restore that silently dropped the shipped .npz)."""
     from ..models.lama import create_lama, init_lama
+    from ..utils.shipping import load_variables
 
-    model = create_lama(variant)
-    variables = None
+    for cand in dict.fromkeys((variant, "lama", "big-lama")):
+        m = create_lama(cand)
+        try:
+            variables = load_variables(weights_path, init_lama(m))
+            logger.info("loaded %s weights from %s (as '%s')",
+                        variant, weights_path, cand)
+            return m, variables, cand
+        except Exception:  # noqa: BLE001 — template/tree mismatch
+            continue
+    logger.warning("checkpoint %s matches no lama variant", weights_path)
+    return None, None, None
+
+
+def _make_lama_engine(variant: str, weights_path: Optional[str]):
+    model = variables = None
     if weights_path and os.path.exists(weights_path):
-        # a checkpoint trained as one variant serves the other engine names
-        # too (the reference's lama/mat split is a quality knob, not a
-        # weight format): try the requested depth first, fall back across
-        # variants whose template matches the stored tree.
-        is_npz = os.path.isfile(weights_path) and weights_path.endswith(
-            ".npz")
-        if not is_npz:
-            import orbax.checkpoint as ocp
-
-            ckptr = ocp.StandardCheckpointer()
-        for cand in dict.fromkeys((variant, "lama", "big-lama")):
-            m = create_lama(cand)
-            try:
-                template = init_lama(m)
-                if is_npz:
-                    from ..utils.shipping import load_params_npz
-
-                    variables = load_params_npz(weights_path, template)
-                else:
-                    variables = ckptr.restore(
-                        os.path.abspath(weights_path), dict(template))
-                model = m
-                logger.info("loaded %s weights from %s (as '%s')",
-                            variant, weights_path, cand)
-                break
-            except Exception:  # noqa: BLE001 — template/tree mismatch
-                continue
-        if variables is None:
-            logger.warning("checkpoint %s matches no lama variant",
-                           weights_path)
+        model, variables, _ = load_lama_variables(weights_path, variant)
     if variables is None:
         logger.warning(
             "no trained weights for inpaint model '%s' — falling back to "
@@ -90,32 +87,22 @@ def _make_lama_engine(variant: str, weights_path: Optional[str]):
 
 
 def default_inpaint_weights() -> Optional[str]:
-    """The shipped FFC-LaMa checkpoint, trained in-framework by
-    training/train_inpaint.py. Checked in order:
-      1. unet_watermark_tpu/weights/lama_ffc  (tracked, ships with the repo)
-      2. <repo>/models/lama_ffc               (legacy round-1 location)
-    None if absent."""
-    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    repo = os.path.dirname(pkg)
-    for path in (os.path.join(pkg, "weights", "lama_ffc.npz"),
-                 os.path.join(pkg, "weights", "lama_ffc"),
-                 os.path.join(repo, "models", "lama_ffc")):
-        if os.path.exists(path):
-            return path
-    return None
+    """The shipped FFC-LaMa checkpoint (trained in-framework by
+    training/train_inpaint.py), through the unified registry
+    (utils/shipping.resolve). None if absent."""
+    from ..utils.shipping import resolve
+
+    return resolve("inpaint")
 
 
 def resolve_inpaint_weights(explicit: Optional[str] = None,
                             cfg=None) -> Optional[str]:
     """Precedence: explicit arg > PREDICT.INPAINT_WEIGHTS config key >
-    PREDICT_INPAINT_WEIGHTS env > shipped default under models/lama_ffc."""
-    for cand in (explicit,
-                 getattr(getattr(cfg, "PREDICT", None), "INPAINT_WEIGHTS",
-                         None),
-                 os.environ.get("PREDICT_INPAINT_WEIGHTS")):
-        if cand:
-            return cand
-    return default_inpaint_weights()
+    PREDICT_INPAINT_WEIGHTS env > shipped default. Thin alias of
+    utils/shipping.resolve('inpaint', …) kept for API stability."""
+    from ..utils.shipping import resolve
+
+    return resolve("inpaint", cfg=cfg, explicit=explicit)
 
 
 def get_engine(name: str = "pushpull",

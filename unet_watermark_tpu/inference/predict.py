@@ -61,14 +61,10 @@ def default_seg_weights(cfg) -> Optional[str]:
     clone of this repo carries bf16 .npz weights for the flagship under
     unet_watermark_tpu/weights/ (utils/shipping.py format). Override
     with the PREDICT_SEG_WEIGHTS env var."""
-    from ..utils.shipping import seg_weights_filename
+    from ..utils.shipping import resolve
 
-    env = os.environ.get("PREDICT_SEG_WEIGHTS")
-    if env:
-        return env if os.path.exists(env) else None
-    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(pkg, "weights", seg_weights_filename(cfg))
-    return path if os.path.exists(path) else None
+    path = resolve("seg", cfg=cfg)
+    return path if path and os.path.exists(path) else None
 
 
 @functools.lru_cache(maxsize=8)
@@ -908,22 +904,17 @@ class WatermarkPredictor:
         engine_used = "pushpull"
         if inpaint_engine in ("lama", "big-lama", "mat"):
             wp = resolve_inpaint_weights(cfg=self.cfg)
-            if wp:
-                from ..models.lama import create_lama, init_lama
-                import orbax.checkpoint as ocp
+            if wp and os.path.exists(wp):
+                # the SAME loader get_engine uses (npz/orbax agnostic) —
+                # a private restore here is how round 2 silently dropped
+                # the shipped bf16 .npz and benched push-pull instead
+                from .engines import load_lama_variables
 
-                for cand in dict.fromkeys((inpaint_engine, "lama",
-                                           "big-lama")):
-                    lm = create_lama(cand)
-                    try:
-                        lv = ocp.StandardCheckpointer().restore(
-                            os.path.abspath(wp), init_lama(lm))
-                    except Exception:  # noqa: BLE001
-                        continue
+                lm, lv, cand = load_lama_variables(wp, inpaint_engine)
+                if lv is not None:
                     lama_apply = functools.partial(
                         lm.apply, lv, train=False)
                     engine_used = f"ffc-{cand}"
-                    break
             if lama_apply is None:
                 logger.warning("fused repair: no trained weights for '%s' "
                                "— using pushpull fill", inpaint_engine)

@@ -90,6 +90,20 @@ SUPPORTED_MODELS = {
 }
 
 
+def canonical_model_name(model_name: str) -> str:
+    """Resolve a model-name alias ('unet++', any case) to its canonical
+    SUPPORTED_MODELS key. Shared by the factory and the shipped-weights
+    filename scheme (utils/shipping.py) so an aliased config finds the
+    same weights file the canonical one does."""
+    canon = {k.lower(): k for k in SUPPORTED_MODELS}
+    canon["unet++"] = "UnetPlusPlus"
+    if model_name.lower() not in canon:
+        raise ValueError(
+            f"unsupported model '{model_name}'. "
+            f"supported: {list(SUPPORTED_MODELS)}")
+    return canon[model_name.lower()]
+
+
 class SMPModelFactory:
     """Analog of /root/reference/src/models/unet_model.py:14-90."""
 
@@ -108,13 +122,7 @@ class SMPModelFactory:
                      fused: bool = True,
                      decoder_impl: str = "canonical",
                      **kwargs) -> SegmentationModel:
-        canon = {k.lower(): k for k in SUPPORTED_MODELS}
-        canon["unet++"] = "UnetPlusPlus"
-        if model_name.lower() not in canon:
-            raise ValueError(
-                f"unsupported model '{model_name}'. "
-                f"supported: {list(SUPPORTED_MODELS)}")
-        model_name = canon[model_name.lower()]
+        model_name = canonical_model_name(model_name)
         get_encoder_channels(encoder_name)  # validate encoder early
         if in_channels != 3:
             raise NotImplementedError("in_channels != 3 not yet supported")

@@ -63,11 +63,6 @@ def up_conv(x_low: jax.Array, w3: jax.Array) -> jax.Array:
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-def _even_spatial(x: jax.Array, min_side: int = 64) -> bool:
-    return (x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
-            and min(x.shape[1], x.shape[2]) >= min_side)
-
-
 def smart_conv3x3(x: jax.Array, w3: jax.Array,
                   lowering: str = "auto") -> jax.Array:
     """Stride-1 SAME 3x3 conv with a selectable lowering.

@@ -289,6 +289,13 @@ def augment_sample(key: Array, image: Array, mask: Array,
     # coordinates, so the fold is bit-exact rot90. This removes the
     # 4-way rotation stack + dynamic index that dominated the augment
     # step once the warp itself was cheap (workspace/exp_aug_ablate*).
+    # Sampling semantics vs the pre-fold code (intentional, round 2):
+    # k is drawn from {1,2,3} so a firing rot90 always rotates —
+    # effective rotation probability is rot90_p, not 0.75*rot90_p; a
+    # +90° angle here equals jnp.rot90(x, k=3) (grid convention mirrors
+    # direction); and when affine+rot90 both fire, shear composes before
+    # the 90° rotation. All distribution-equivalent for training but not
+    # bit-reproducible against pre-fold runs.
     rot90_deg = 0.0
     if h == w and policy.rot90_p > 0:
         do_r = jax.random.uniform(keys[2]) < policy.rot90_p
@@ -374,8 +381,10 @@ def denormalize(image: Array) -> Array:
 def augment_batch(key: Array, images: Array, masks: Array,
                   policy_name: str = "transparent_watermark",
                   apply_normalize: bool = True) -> Tuple[Array, Array]:
-    """Batched augmentation: images (N,H,W,3) float[0,1], masks (N,H,W,1)."""
-    policy = POLICIES[policy_name]
+    """Batched augmentation: images (N,H,W,3) float[0,1], masks (N,H,W,1).
+    `policy_name` may also be an AugmentPolicy instance directly."""
+    policy = (POLICIES[policy_name] if isinstance(policy_name, str)
+              else policy_name)
     keys = jax.random.split(key, images.shape[0])
     aug = jax.vmap(lambda k, im, mk: augment_sample(k, im, mk, policy))
     images, masks = aug(keys, images, masks)

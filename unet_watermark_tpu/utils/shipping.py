@@ -11,18 +11,105 @@ needs the weights in-repo.
 """
 from __future__ import annotations
 
-from typing import Any, Dict
+import logging
+import os
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+logger = logging.getLogger(__name__)
+
 
 def seg_weights_filename(cfg) -> str:
     """Canonical shipped-weights filename for a segmentation config —
-    shared by the trainer's export and the predictor's default lookup."""
-    return (f"seg_{cfg.MODEL.NAME.lower().replace('+', 'p')}_"
-            f"{cfg.MODEL.ENCODER_NAME.lower()}.npz")
+    shared by the trainer's export and the predictor's default lookup.
+    The model name is canonicalized through the factory's alias map so a
+    config saying NAME: unet++ finds seg_unetplusplus_<enc>.npz."""
+    from ..models.factory import canonical_model_name
+
+    try:
+        name = canonical_model_name(cfg.MODEL.NAME).lower()
+    except ValueError:
+        name = cfg.MODEL.NAME.lower().replace("+", "p")
+    return f"seg_{name}_{cfg.MODEL.ENCODER_NAME.lower()}.npz"
+
+
+# ---------------------------------------------------------------------------
+# unified weight registry — ONE resolver for every shipped-weights kind
+# (the reference has no equivalent: it downloads LaMa at runtime and
+# assumes user-supplied .pth files, /root/reference/src/predict.py:68,771)
+# ---------------------------------------------------------------------------
+
+def weights_dir() -> str:
+    """The tracked shipped-weights directory: unet_watermark_tpu/weights."""
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(pkg, "weights")
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+
+# kind → (env var, cfg attr under PREDICT, shipped filename fn,
+#         legacy fallback paths)
+_KINDS = {
+    "seg": ("PREDICT_SEG_WEIGHTS", "SEG_WEIGHTS",
+            seg_weights_filename, ()),
+    "inpaint": ("PREDICT_INPAINT_WEIGHTS", "INPAINT_WEIGHTS",
+                lambda cfg: "lama_ffc.npz",
+                ("weights:lama_ffc", "repo:models/lama_ffc")),
+    "diffusion": ("DIFFUSION_WEIGHTS", "DIFFUSION_WEIGHTS",
+                  lambda cfg: "latent_diffusion.npz",
+                  ("repo:models/latent_diffusion",)),
+}
+
+
+def resolve(kind: str, cfg=None, explicit: Optional[str] = None,
+            ) -> Optional[str]:
+    """Resolve the weights path for `kind` in {seg, inpaint, diffusion}.
+
+    Precedence: explicit arg > cfg.PREDICT.<attr> > env var > shipped
+    file under unet_watermark_tpu/weights/ > legacy locations. Explicit /
+    cfg / env values are returned verbatim (caller errors surface);
+    defaults are returned only if they exist on disk. Returns None when
+    nothing is found."""
+    if kind not in _KINDS:
+        raise ValueError(f"unknown weights kind '{kind}' "
+                         f"(know {sorted(_KINDS)})")
+    env_var, cfg_attr, filename_fn, legacy = _KINDS[kind]
+    cfg_val = getattr(getattr(cfg, "PREDICT", None), cfg_attr, None)
+    for cand in (explicit, cfg_val, os.environ.get(env_var)):
+        if cand:
+            return cand
+    cands = [os.path.join(weights_dir(), filename_fn(cfg))] if (
+        cfg is not None or kind != "seg") else []
+    for spec in legacy:
+        base, _, rel = spec.partition(":")
+        root = weights_dir() if base == "weights" else _repo_root()
+        cands.append(os.path.join(root, *rel.split("/")))
+    for path in cands:
+        if os.path.exists(path):
+            return path
+    return None
+
+
+def load_variables(path: str, template: Any) -> Any:
+    """Format-agnostic weight loading into `template`'s structure:
+    a .npz file goes through load_params_npz (the bf16 distribution
+    format); anything else is treated as an orbax checkpoint directory.
+    This is the ONE loader every engine uses — predict, engines, and
+    diffusion — so a path that resolves always loads the same way."""
+    if os.path.isfile(path) and path.endswith(".npz"):
+        return load_params_npz(path, template)
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(
+        os.path.abspath(path), dict(template) if isinstance(template, dict)
+        else template)
+    return restored
 
 
 def _keystr(path) -> str:
@@ -43,7 +130,11 @@ def save_params_npz(path: str, tree: Any, dtype=jnp.bfloat16) -> str:
     flat = flatten_tree(tree)
     packed = {}
     for k, v in flat.items():
-        if np.issubdtype(v.dtype, np.floating) and dtype is not None:
+        # jnp.issubdtype (not np.) so ml_dtypes bfloat16 leaves are
+        # recognized as floating — np.issubdtype says False for bf16 and
+        # a tree already holding bf16 would be written as raw void
+        # entries that load_params_npz cannot read back.
+        if jnp.issubdtype(v.dtype, jnp.floating) and dtype is not None:
             bv = np.asarray(jnp.asarray(v).astype(dtype))
             packed["BF16::" + k] = bv.view(np.uint16)
         else:
