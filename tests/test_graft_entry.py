@@ -31,6 +31,10 @@ def test_dryrun_multichip_driver_call_path():
         capture_output=True, text=True, timeout=600)
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "dryrun_multichip(4): ok" in proc.stdout, proc.stdout
+    # the flagship inference product must also be multichip-validated:
+    # fused detect→inpaint under DP sharding, learned engine when the
+    # shipped weights resolve
+    assert "fused-repair[ffc-lama] 4-way DP ok" in proc.stdout, proc.stdout
 
 
 def test_entry_compile_check_small():
