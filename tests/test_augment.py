@@ -158,3 +158,72 @@ def test_rot90_probability_semantics():
         # image and mask rotate together
         assert np.array_equal(np.asarray(oi[0, ..., 0]),
                               np.asarray(om[0, ..., 0])), seed
+
+
+def test_separable_warp_matches_gather_warp():
+    """The matmul+roll warp must agree with the exact flat-gather warp
+    up to its documented ≤1 px split-round slack: on a smooth image the
+    values are close everywhere; on random pixels only a small fraction
+    of sites may land on a neighboring pixel."""
+    rng = np.random.default_rng(11)
+    ys, xs = np.mgrid[0:64, 0:64].astype(np.float32) / 64
+    smooth = jnp.asarray(np.stack([ys, xs, ys * xs], -1))
+    for seed in range(6):
+        r = np.random.default_rng(seed)
+        scale = jnp.float32(1.0 + r.uniform(-0.1, 0.1))
+        angle = jnp.float32(r.uniform(-15, 15) + 90 * r.integers(0, 4))
+        shear = jnp.float32(r.uniform(-5, 5))
+        shift = jnp.asarray(r.uniform(-0.1, 0.1, 2), jnp.float32)
+        coeffs = aug._affine_coeffs(64, 64, scale, angle, shear, shift)
+        sep = np.asarray(aug._separable_nearest_warp(smooth, *coeffs))
+        sy, sx = aug._affine_grid(64, 64, scale, angle, shear, shift)
+        gat = np.asarray(aug._nearest_sample(smooth, sy, sx))
+        # smooth image: 1px index slack => value error <~ 2*gradient.
+        # The slack fires on up to ~half the sites (each lands on a
+        # 1-px neighbor); the value bound is the real contract.
+        assert np.abs(sep - gat).max() < 0.07, seed
+        assert (np.abs(sep - gat) > 1e-6).mean() < 0.6, seed
+
+
+def test_separable_warp_exact_rot90_and_identity():
+    x = jnp.asarray(np.random.default_rng(5).random((16, 16, 3)),
+                    jnp.float32)
+    zero = jnp.float32(0.0)
+    one = jnp.float32(1.0)
+    for k in (0, 1, 2, 3):
+        coeffs = aug._affine_coeffs(16, 16, one, jnp.float32(90.0 * k),
+                                    zero, jnp.zeros(2))
+        out = np.asarray(aug._separable_nearest_warp(x, *coeffs))
+        assert np.array_equal(out, np.rot90(np.asarray(x), k=(4 - k) % 4)), k
+
+
+def test_separable_warp_creates_no_new_values():
+    x = jnp.asarray(
+        np.random.default_rng(7).integers(0, 5, (12, 12, 1)), jnp.float32)
+    coeffs = aug._affine_coeffs(12, 12, jnp.float32(1.1), jnp.float32(33.0),
+                                jnp.float32(5.0),
+                                jnp.asarray([0.05, -0.03], jnp.float32))
+    sep = np.asarray(aug._separable_nearest_warp(x, *coeffs))
+    assert set(np.unique(sep)).issubset(set(np.unique(np.asarray(x))))
+
+
+def test_separable_warp_nonsquare():
+    """h != w disables the transpose-select path but must still warp."""
+    ys, xs = np.mgrid[0:32, 0:48].astype(np.float32)
+    img = jnp.asarray(np.stack([ys / 32, xs / 48, ys * 0], -1))
+    coeffs = aug._affine_coeffs(32, 48, jnp.float32(1.05), jnp.float32(8.0),
+                                jnp.float32(0.0), jnp.zeros(2))
+    sep = np.asarray(aug._separable_nearest_warp(img, *coeffs))
+    sy, sx = aug._affine_grid(32, 48, jnp.float32(1.05), jnp.float32(8.0),
+                              jnp.float32(0.0), jnp.zeros(2))
+    gat = np.asarray(aug._nearest_sample(img, sy, sx))
+    assert np.abs(sep - gat).max() < 0.12
+
+
+def test_roll_by_lines():
+    x = jnp.asarray(np.arange(20, dtype=np.float32).reshape(4, 5))
+    shift = jnp.asarray([0, 1, 2, 7])  # per row, rolled along columns
+    out = np.asarray(aug._roll_by_lines(x, shift, axis=1, line_axis=0))
+    ref = np.stack([np.roll(np.asarray(x)[i], -int(shift[i]))
+                    for i in range(4)])
+    np.testing.assert_array_equal(out, ref)

@@ -137,3 +137,52 @@ def test_pipeline_early_break_no_thread_leak(data_root):
     time.sleep(1.0)
     after = threading.active_count()
     assert after <= before + 1, (before, after)
+
+
+def test_decoded_cache_identical_and_hits(data_root, tmp_path):
+    """Second access serves the memmap (source deleted → still works)."""
+    from unet_watermark_tpu.data.decoded_cache import DecodedCache
+
+    ds = WatermarkDataset(
+        watermarked_dirs=os.path.join(data_root, "watermarked"),
+        mask_dirs=os.path.join(data_root, "masks"), img_size=64)
+    cached = DecodedCache(ds, str(tmp_path))
+    img0, mask0 = cached[1]          # populate
+    # swap in a dataset whose decode would now fail: cache must answer
+    cached.dataset = None
+    img1, mask1 = cached[1]
+    np.testing.assert_array_equal(img0, img1)
+    np.testing.assert_array_equal(mask0, mask1)
+    assert img1.dtype == np.uint8 and mask1.dtype == np.uint8
+    # a second DecodedCache over the same dataset reuses the directory
+    cached2 = DecodedCache(ds, str(tmp_path))
+    assert cached2.dir == cached.dir
+    assert int(cached2.present[1]) == 1
+
+
+def test_decoded_cache_fingerprint_changes_with_size(data_root, tmp_path):
+    from unet_watermark_tpu.data.decoded_cache import DecodedCache
+
+    kw = dict(watermarked_dirs=os.path.join(data_root, "watermarked"),
+              mask_dirs=os.path.join(data_root, "masks"))
+    a = DecodedCache(WatermarkDataset(img_size=64, **kw), str(tmp_path))
+    b = DecodedCache(WatermarkDataset(img_size=32, **kw), str(tmp_path))
+    assert a.dir != b.dir
+
+
+def test_create_datasets_wraps_decoded_cache(data_root, tmp_path):
+    from unet_watermark_tpu.data.decoded_cache import DecodedCache
+
+    cfg = get_cfg_defaults()
+    cfg.DATA.ROOT_DIR = data_root
+    cfg.DATA.IMG_SIZE = 64
+    cfg.DATA.CACHE_DIR = str(tmp_path)
+    train_ds, val_ds = create_datasets(cfg)
+    assert isinstance(train_ds.dataset, DecodedCache)
+    assert isinstance(val_ds.dataset, DecodedCache)
+    img, mask = train_ds[0]
+    assert img.shape == (64, 64, 3)
+    # blurred-mask train mode must NOT cache (fresh noise per access)
+    train_b, val_b = create_datasets(cfg, use_blurred_mask=True)
+    assert not isinstance(train_b.dataset, DecodedCache)
+    assert isinstance(val_b.dataset, DecodedCache)

@@ -236,3 +236,58 @@ def test_dp_equivalence_1_vs_8_devices(tmp_path):
                     jax.tree_util.tree_leaves(state8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_async_saver_orders_flushes_and_raises(tmp_path):
+    import time
+
+    from unet_watermark_tpu.utils.async_ckpt import AsyncSaver
+
+    order = []
+
+    def job(i, delay=0.0):
+        time.sleep(delay)
+        order.append(i)
+
+    s = AsyncSaver(max_pending=2)
+    for i in range(4):
+        s.submit(job, i, 0.02)
+    s.flush()
+    assert order == [0, 1, 2, 3]  # FIFO on one worker
+
+    def boom():
+        raise RuntimeError("disk full")
+
+    s.submit(boom)
+    with pytest.raises(RuntimeError, match="disk full"):
+        s.flush()
+    s.close()
+
+
+def test_snapshot_state_survives_donation(tmp_path):
+    """A snapshot taken before a donating step stays readable after the
+    live state's buffers are invalidated."""
+    from unet_watermark_tpu.utils.async_ckpt import snapshot_state
+
+    cfg = small_cfg(str(tmp_path))
+    _, state = create_train_state(cfg, seed=0)
+    loss_fn = losses_lib.get_loss_function(cfg)
+    step = make_train_step(None, loss_fn, "transparent_watermark",
+                           donate=True)
+    batch = _synthetic_batch(img=64)
+    key = jax.random.PRNGKey(0)
+    state, _ = step(state, batch, key)
+    snap = snapshot_state(state)
+    state, _ = step(state, batch, key)  # donates the snapshotted state
+    leaf = jax.tree_util.tree_leaves(snap.params)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_train_writes_best_checkpoint_async(data_root, tmp_path):
+    cfg = small_cfg(str(tmp_path))
+    cfg.DATA.ROOT_DIR = data_root
+    cfg.DATA.CACHE_DIR = str(tmp_path / "cache")
+    cfg.TRAIN.EPOCHS = 1
+    out = train(cfg)
+    assert out["best_checkpoint"] is not None
+    assert os.path.isdir(out["best_checkpoint"])  # flushed before return

@@ -58,6 +58,11 @@ class DataConfig:
     SEED: int = 42
     NUM_WORKERS: int = 4
     CACHE_IMAGES: bool = False
+    # disk memmap of decoded+resized uint8 samples (data/decoded_cache.py):
+    # pays JPEG decode once, then epochs read page-cached memory — the fix
+    # for host-bound epochs on few-core TPU hosts
+    CACHE_DECODED: bool = True
+    CACHE_DIR: Optional[str] = None  # default: <ROOT_DIR>/.decoded_cache
     PREFETCH_FACTOR: int = 2
     AUGMENTATION_TYPE: str = "transparent_watermark"
     # accepted extras from unet_text_watermark.yaml

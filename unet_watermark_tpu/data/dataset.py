@@ -258,4 +258,7 @@ def create_datasets(cfg, use_blurred_mask: bool = False
         use_blurred_mask=use_blurred_mask)
     logger.info("dataset split: %d train / %d val", len(train_idx),
                 len(val_idx))
+    from .decoded_cache import maybe_wrap_decoded_cache
+    full = maybe_wrap_decoded_cache(full, cfg, use_blurred_mask)
+    val = maybe_wrap_decoded_cache(val, cfg, use_blurred_mask)
     return Subset(full, train_idx), Subset(val, val_idx)

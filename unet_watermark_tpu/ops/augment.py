@@ -28,6 +28,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
@@ -59,8 +60,10 @@ class AugmentPolicy:
     gamma_limit: Tuple[float, float] = (0.8, 1.2)
     jpeg_p: float = 0.0
     jpeg_quality: Tuple[float, float] = (60.0, 100.0)
-    # "nearest" (default): 1-gather warp, ~4x cheaper on TPU; "bilinear"
-    # opt-in for sub-pixel fidelity (see _nearest_sample docstring)
+    # "nearest" (default): gather-free separable matmul+roll warp, ~20x
+    # cheaper on TPU (see _separable_nearest_warp); "nearest_gather": the
+    # flat-gather warp (exact 2-D nearest, for A/B checks); "bilinear":
+    # opt-in sub-pixel fidelity at 4-gather cost
     interpolation: str = "nearest"
 
 
@@ -112,6 +115,114 @@ def _affine_grid(h: int, w: int, scale, angle_deg, shear_deg, shift_xy):
     src_x = i00 * xx + i01 * yy + cx
     src_y = i10 * xx + i11 * yy + cy
     return src_y, src_x
+
+
+def _affine_coeffs(h: int, w: int, scale, angle_deg, shear_deg, shift_xy):
+    """Same inverse map as `_affine_grid`, as linear coefficients:
+    src_x = p·xo + q·yo + rx,  src_y = s·xo + t·yo + ry
+    (xo = output column, yo = output row)."""
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ang = jnp.deg2rad(angle_deg)
+    shr = jnp.deg2rad(shear_deg)
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    m00 = scale * cos
+    m01 = scale * (cos * jnp.tan(shr) - sin)
+    m10 = scale * sin
+    m11 = scale * (sin * jnp.tan(shr) + cos)
+    det = m00 * m11 - m01 * m10
+    i00, i01 = m11 / det, -m01 / det
+    i10, i11 = -m10 / det, m00 / det
+    ty, tx = shift_xy[1] * h, shift_xy[0] * w
+    p, q = i00, i01
+    rx = cx - i00 * (cx + tx) - i01 * (cy + ty)
+    s, t = i10, i11
+    ry = cy - i10 * (cx + tx) - i11 * (cy + ty)
+    return p, q, rx, s, t, ry
+
+
+def _roll_by_lines(x: Array, shift: Array, axis: int, line_axis: int
+                   ) -> Array:
+    """Roll `x` along `axis` by a per-line amount (`shift` indexed by the
+    position along `line_axis`): out[.., i, ..] = x[.., (i+shift) mod n, ..].
+
+    A data-dependent per-line shift is a gather, which TPUs run at ~2%
+    lane utilization; decomposing the shift into its binary digits turns
+    it into ≤⌈log2 n⌉ full-tensor rolls + selects, all of which move whole
+    lanes at HBM bandwidth."""
+    n = x.shape[axis]
+    sh = jnp.mod(shift, n)
+    cshape = [1] * x.ndim
+    cshape[line_axis] = x.shape[line_axis]
+    for k in range(max(1, (n - 1).bit_length())):
+        bit = ((sh >> k) & 1).astype(bool).reshape(cshape)
+        rolled = jnp.roll(x, -(1 << k), axis=axis)
+        x = jnp.where(bit, rolled, x)
+    return x
+
+
+def _separable_nearest_warp(img: Array, p, q, rx, s, t, ry) -> Array:
+    """Nearest-neighbor affine warp as two axis-separable passes.
+
+    The flat-gather warp (`_nearest_sample`) measured 420 ms of the 443 ms
+    augmentation step at 512²×32 (workspace/exp_aug_ablate2.log): TPU
+    gathers of thin [C]-rows are ~1000× off the HBM roofline. This
+    formulation keeps everything in wide-lane land:
+
+      pass 1 (rows):  mid[yo, x] = img[A·yo + B·x + C, x]
+      pass 2 (cols):  out[yo, xo] = mid[yo, p·xo + q·yo + rx]
+
+    with each pass's index split as round(base(t)) + round(slope·line):
+    the base term is a one-hot matmul on the MXU, the per-line term is
+    `_roll_by_lines`. Border handling is reflect-101, done exactly by
+    extending each axis with its mirrored interior (size 2N−2) so the
+    mod-N wrap of rolls/one-hots IS the reflection.
+
+    Approximations vs the exact 2-D nearest warp (all ≤1 px, irrelevant
+    for augmentation): the split round can be off by one, and pass 1 is
+    evaluated at the rounded pass-2 index. At exact multiples of 90°
+    about the (N−1)/2 center every coefficient is an integer, both
+    approximations vanish, and the warp is BIT-exact rot90 — the
+    property the rot90 fold depends on. Like the gather warp, this only
+    ever copies existing pixel values (each output is a one-hot·row dot
+    product), so nearest warps create no new values and mask binarity
+    is preserved exactly.
+    """
+    h, w, c = img.shape
+    if h == w:
+        # near-90° maps degenerate pass 2 (p→0): sample the transposed
+        # image instead and swap coefficient roles (the Catmull-Smith
+        # "bottleneck" fix). Guarantees |s| ≤ |p| below.
+        flip = jnp.abs(s) > jnp.abs(p)
+        img = jnp.where(flip, jnp.swapaxes(img, 0, 1), img)
+        p, q, rx, s, t, ry = (
+            jnp.where(flip, s, p), jnp.where(flip, t, q),
+            jnp.where(flip, ry, rx), jnp.where(flip, p, s),
+            jnp.where(flip, q, t), jnp.where(flip, rx, ry))
+    p_safe = jnp.where(jnp.abs(p) < 1e-6,
+                       jnp.where(p < 0, -1e-6, 1e-6), p)
+    slope_b = s / p_safe
+    a_coef = (p * t - q * s) / p_safe
+    c_coef = ry - s * rx / p_safe
+
+    ny = 2 * h - 2
+    ext = jnp.concatenate([img, img[-2:0:-1]], axis=0)
+    shift1 = jnp.round(slope_b * jnp.arange(w)).astype(jnp.int32)
+    ext = _roll_by_lines(ext, shift1, axis=0, line_axis=1)
+    base1 = jnp.mod(
+        jnp.round(a_coef * jnp.arange(h) + c_coef).astype(jnp.int32), ny)
+    onehot1 = (base1[:, None] == jnp.arange(ny)[None, :]).astype(img.dtype)
+    mid = (onehot1 @ ext.reshape(ny, w * c)).reshape(h, w, c)
+
+    nx = 2 * w - 2
+    ext2 = jnp.concatenate([mid, mid[:, -2:0:-1]], axis=1)
+    shift2 = jnp.round(q * jnp.arange(h)).astype(jnp.int32)
+    ext2 = _roll_by_lines(ext2, shift2, axis=1, line_axis=0)
+    base2 = jnp.mod(
+        jnp.round(p * jnp.arange(w) + rx).astype(jnp.int32), nx)
+    onehot2 = (base2[:, None] == jnp.arange(nx)[None, :]).astype(img.dtype)
+    # contract the extended-x axis on the MXU: [(h·c), nx] @ [nx, w]
+    tr = ext2.transpose(0, 2, 1).reshape(h * c, nx)
+    return (tr @ onehot2.T).reshape(h, c, w).transpose(0, 2, 1)
 
 
 def _bilinear_sample(img: Array, src_y: Array, src_x: Array) -> Array:
@@ -316,13 +427,17 @@ def augment_sample(key: Array, image: Array, mask: Array,
         angle = jnp.where(do_a, angle, 0.0) + rot90_deg
         shear = jnp.where(do_a, shear, 0.0)
         shift = jnp.where(do_a, shift, jnp.zeros(2))
-        src_y, src_x = _affine_grid(h, w, scale, angle, shear, shift)
-        # one warp over concat(image, mask): shares the gathers (mask
+        # one warp over concat(image, mask): shares the work (mask
         # corners are identical indices), then split back
         both = jnp.concatenate([image, mask], axis=-1)
         if policy.interpolation == "nearest":
+            coeffs = _affine_coeffs(h, w, scale, angle, shear, shift)
+            both = _separable_nearest_warp(both, *coeffs)
+        elif policy.interpolation == "nearest_gather":
+            src_y, src_x = _affine_grid(h, w, scale, angle, shear, shift)
             both = _nearest_sample(both, src_y, src_x)
         else:
+            src_y, src_x = _affine_grid(h, w, scale, angle, shear, shift)
             both = _bilinear_sample(both, src_y, src_x)
         image = both[..., :3]
         mask = (both[..., 3:] > 0.5).astype(jnp.float32)

@@ -33,6 +33,7 @@ from ..ops import augment as aug
 from ..ops import losses as losses_lib
 from ..ops import metrics as metrics_lib
 from ..parallel import make_mesh, mesh_from_config, replicated, shard_batch
+from ..utils.async_ckpt import AsyncSaver, snapshot_state
 from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
 from .state import EarlyStopping, LRScheduler, TrainState, make_optimizer
 
@@ -267,6 +268,7 @@ def train(cfg: Config, resume_from: Optional[str] = None,
     rng = jax.random.PRNGKey(cfg.DATA.SEED)
     n_train = len(train_ds)
     best_path = None
+    saver = AsyncSaver(max_pending=2)
 
     for epoch in range(start_epoch, cfg.TRAIN.EPOCHS):
         state, rng, train_m, dt = run_train_epoch(
@@ -299,14 +301,20 @@ def train(cfg: Config, resume_from: Optional[str] = None,
             "early_stopping": early.state_dict(),
             "config": cfg.to_dict(),
         }
+        # saves run on a background worker against an on-device snapshot
+        # (the live state's buffers are donated at the next step) so the
+        # D2H fetch + orbax/.pth/.npz writes overlap the next epoch
         if val_m["loss"] < best_val_loss:
             best_val_loss = val_m["loss"]
-            best_path = save_checkpoint(ckpt_dir, "best_model", state, meta)
-            _export_pth(cfg, state, meta)
+            snap = snapshot_state(state)
+            saver.submit(_save_best, cfg, ckpt_dir, snap, dict(meta))
+            best_path = os.path.abspath(
+                os.path.join(ckpt_dir, "best_model"))
         if not cfg.TRAIN.SAVE_BEST_ONLY and (
                 (epoch + 1) % cfg.TRAIN.SAVE_INTERVAL == 0):
-            save_checkpoint(ckpt_dir, f"checkpoint_epoch_{epoch + 1}",
-                            state, meta)
+            saver.submit(save_checkpoint, ckpt_dir,
+                         f"checkpoint_epoch_{epoch + 1}",
+                         snapshot_state(state), dict(meta))
 
         if cfg.TRAIN.USE_EARLY_STOPPING and early(val_m["loss"]):
             logger.info("early stopping at epoch %d", epoch + 1)
@@ -326,6 +334,8 @@ def train(cfg: Config, resume_from: Optional[str] = None,
             logger.warning("host memory %s after epoch %d: %.1f%% used",
                            level, epoch + 1, snap.host_percent)
 
+    saver.flush()  # all checkpoints durable before reporting; loud on error
+    saver.close()
     save_training_plots(history, cfg.TRAIN.OUTPUT_DIR)
     os.makedirs(cfg.TRAIN.OUTPUT_DIR, exist_ok=True)
     with open(os.path.join(cfg.TRAIN.OUTPUT_DIR, "training_history.json"),
@@ -351,6 +361,13 @@ def _limit(pipeline, max_steps: Optional[int]):
             yield b
 
     return gen()
+
+
+def _save_best(cfg: Config, ckpt_dir: str, state: TrainState,
+               meta: Dict[str, Any]) -> None:
+    """Best-model save job (async worker): orbax dir + .pth + .npz."""
+    save_checkpoint(ckpt_dir, "best_model", state, meta)
+    _export_pth(cfg, state, meta)
 
 
 def _export_pth(cfg: Config, state: TrainState, meta: Dict[str, Any]) -> None:

@@ -1,0 +1,81 @@
+"""Async checkpoint writes: keep the train loop off the disk.
+
+The reference saves torch checkpoints synchronously inside the epoch loop
+(/root/reference/src/train.py:425-460); on this framework's target hosts
+the D2H fetch + orbax/.pth/.npz writes cost seconds per save and were one
+of the three host-bound-epoch culprits (round-2 VERDICT). Here a save is:
+
+  1. an on-device `jnp.copy` snapshot of the state (required: the train
+     step donates its input state, so the live buffers die at the next
+     step dispatch — a background thread must read from buffers it owns)
+  2. a queued job on ONE worker thread that does the D2H transfer and all
+     disk formats while the device trains on
+
+Ordering is preserved (single worker, FIFO). `flush()` joins the queue;
+worker exceptions are re-raised there so failed saves are loud.
+"""
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from typing import Any, Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+
+
+def snapshot_state(state) -> Any:
+    """On-device copy of every array leaf — safe against buffer donation
+    by subsequent train steps, and cheap (HBM-to-HBM)."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
+
+
+class AsyncSaver:
+    """Single background worker running queued save jobs in order."""
+
+    def __init__(self, max_pending: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=max_pending)
+        self._errors: List[BaseException] = []
+        self._thread: Optional[threading.Thread] = None
+
+    def _ensure_worker(self):
+        if self._thread is None or not self._thread.is_alive():
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+
+    def _run(self):
+        while True:
+            job = self._q.get()
+            try:
+                if job is None:
+                    return
+                fn, args, kwargs = job
+                fn(*args, **kwargs)
+            except BaseException as e:  # noqa: BLE001 — surfaced in flush
+                logger.warning("async checkpoint save failed: %s", e)
+                self._errors.append(e)
+            finally:
+                self._q.task_done()
+
+    def submit(self, fn: Callable, *args, **kwargs) -> None:
+        """Queue `fn(*args)` on the worker. Blocks only when max_pending
+        saves are already queued (back-pressure, bounded memory)."""
+        self._ensure_worker()
+        self._q.put((fn, args, kwargs))
+
+    def flush(self, raise_errors: bool = True) -> None:
+        """Wait for all queued saves; re-raise the first worker error."""
+        self._q.join()
+        if raise_errors and self._errors:
+            err, self._errors = self._errors[0], []
+            raise err
+
+    def close(self) -> None:
+        self.flush(raise_errors=False)
+        if self._thread is not None and self._thread.is_alive():
+            self._q.put(None)
+            self._thread.join(timeout=30)
