@@ -162,9 +162,11 @@ def main():
             xb, out2 = fused_chained(xb)
         jax.block_until_ready((xb, out2))
         per_img_ms = (time.time() - t0) / 5 / 16 * 1e3
+        # 5612 ms/img = the SAME shipped FFC generator on the host CPU
+        # backend, measured (workspace/exp_cpu_lama.py, batch 1 @512²)
         log(f"fused mask+inpaint e2e [{engine_used}]: {per_img_ms:.1f} "
             f"ms/img ({1e3 / per_img_ms:.0f} img/s) — "
-            f"vs CPU-LaMa ~2000-10000 ms/img")
+            f"{5612.0 / per_img_ms:.0f}x measured CPU-LaMa (5612 ms/img)")
     except Exception as e:  # noqa: BLE001
         log(f"fused e2e bench skipped: {e}")
 
