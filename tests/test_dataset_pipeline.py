@@ -186,3 +186,63 @@ def test_create_datasets_wraps_decoded_cache(data_root, tmp_path):
     train_b, val_b = create_datasets(cfg, use_blurred_mask=True)
     assert not isinstance(train_b.dataset, DecodedCache)
     assert isinstance(val_b.dataset, DecodedCache)
+
+
+def test_device_pipeline_matches_dataset(data_root):
+    """DeviceDataPipeline serves the same uint8 content as the dataset,
+    pads the remainder with valid=0, and reshuffles per epoch."""
+    from unet_watermark_tpu.data.pipeline import DeviceDataPipeline
+
+    ds = WatermarkDataset(
+        watermarked_dirs=os.path.join(data_root, "watermarked"),
+        mask_dirs=os.path.join(data_root, "masks"), img_size=64)
+    n = len(ds)
+    p = DeviceDataPipeline(ds, batch_size=4, shuffle=False)
+    seen = 0
+    for b in p:
+        assert b["image"].dtype == np.uint8
+        assert b["mask"].shape[-1] == 1
+        seen += int(np.asarray(b["valid"]).sum())
+    assert seen == n
+    first = next(iter(DeviceDataPipeline(ds, batch_size=4, shuffle=False)))
+    img0, mask0 = ds[0]
+    np.testing.assert_array_equal(np.asarray(first["image"][0]), img0)
+    np.testing.assert_array_equal(
+        np.asarray(first["mask"][0, ..., 0]),
+        (mask0 > (127 if mask0.dtype == np.uint8 else 0.5)).astype(np.uint8))
+    # shuffled epochs differ
+    ps = DeviceDataPipeline(ds, batch_size=4, shuffle=True, seed=3)
+    e1 = np.concatenate([np.asarray(b["image"]) for b in ps])
+    e2 = np.concatenate([np.asarray(b["image"]) for b in ps])
+    assert not np.array_equal(e1, e2)
+
+
+def test_make_pipelines_selects_device_cache(data_root):
+    """Single-device + corpus under budget -> DeviceDataPipeline;
+    multi-device mesh or DEVICE_CACHE off -> host DataPipeline."""
+    from unet_watermark_tpu.data.pipeline import (DataPipeline,
+                                                  DeviceDataPipeline,
+                                                  make_pipelines)
+    from unet_watermark_tpu.parallel import make_mesh
+
+    cfg = get_cfg_defaults()
+    cfg.DATA.ROOT_DIR = data_root
+    cfg.DATA.IMG_SIZE = 64
+    cfg.TRAIN.BATCH_SIZE = 4
+    train_ds, val_ds = create_datasets(cfg)
+    tr, va = make_pipelines(cfg, train_ds, val_ds, mesh=None)
+    assert isinstance(tr, DeviceDataPipeline)
+    assert isinstance(va, DeviceDataPipeline)
+
+    mesh = make_mesh()  # 8 virtual devices
+    tr8, _ = make_pipelines(cfg, train_ds, val_ds, mesh=mesh)
+    assert isinstance(tr8, DataPipeline)
+
+    cfg.DATA.DEVICE_CACHE = False
+    tr1, _ = make_pipelines(cfg, train_ds, val_ds, mesh=None)
+    assert isinstance(tr1, DataPipeline)
+
+    cfg.DATA.DEVICE_CACHE = True
+    cfg.DATA.DEVICE_CACHE_MB = 0
+    tr2, _ = make_pipelines(cfg, train_ds, val_ds, mesh=None)
+    assert isinstance(tr2, DataPipeline)

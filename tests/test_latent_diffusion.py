@@ -79,6 +79,52 @@ def test_sd3_fallback_uses_native_diffusion(trained_ckpt, monkeypatch):
     assert ld.get_inpainter() is not None
 
 
+def test_diffusion_engine_in_registry(trained_ckpt, monkeypatch):
+    """get_engine('diffusion') serves the native latent-diffusion engine
+    (same (images, masks) -> images contract as lama/pushpull), so the
+    quality tooling and repair pipeline can dispatch to it by name."""
+    from unet_watermark_tpu.inference.engines import get_engine
+
+    engine = get_engine("diffusion", weights_path=trained_ckpt)
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    masks = np.zeros((2, 64, 64, 1), np.float32)
+    masks[:, 16:48, 16:48] = 1.0
+    out = np.asarray(engine(images, jnp.asarray(masks)))
+    assert out.shape == images.shape
+    known = masks[..., 0] == 0
+    np.testing.assert_allclose(out[known], np.asarray(images)[known],
+                               atol=1e-5)
+
+    # no weights anywhere -> pushpull fallback, not an exception
+    monkeypatch.delenv("DIFFUSION_WEIGHTS", raising=False)
+    fallback = get_engine("diffusion",
+                          weights_path="/nonexistent/ld.npz")
+    out2 = np.asarray(fallback(images, jnp.asarray(masks)))
+    assert out2.shape == images.shape
+
+
+def test_ship_weights_roundtrip(trained_ckpt, tmp_path, monkeypatch):
+    """ship_weights writes the bf16 npz the registry resolves and the
+    LatentInpainter loads."""
+    from unet_watermark_tpu.diffusion.latent_diffusion import LatentInpainter
+    from unet_watermark_tpu.training.train_latent_diffusion import (
+        ship_weights,
+    )
+    import orbax.checkpoint as ocp
+
+    params = ocp.StandardCheckpointer().restore(trained_ckpt)
+    dest = str(tmp_path / "latent_diffusion.npz")
+    ship_weights(params, dest)
+    inp = LatentInpainter(weights_path=dest)
+    rng = np.random.default_rng(4)
+    images = rng.random((1, 64, 64, 3)).astype(np.float32)
+    masks = np.zeros((1, 64, 64, 1), np.float32)
+    masks[:, 20:40, 20:40] = 1.0
+    out = inp.inpaint(images, masks, steps=3)
+    assert np.isfinite(out).all()
+
+
 def test_flux_fallback_uses_native_diffusion(trained_ckpt, monkeypatch):
     import unet_watermark_tpu.diffusion.latent_diffusion as ld
     from unet_watermark_tpu.diffusion.flux_process import FluxProcessor

@@ -63,6 +63,12 @@ class DataConfig:
     # for host-bound epochs on few-core TPU hosts
     CACHE_DECODED: bool = True
     CACHE_DIR: Optional[str] = None  # default: <ROOT_DIR>/.decoded_cache
+    # whole-corpus-in-HBM pipeline (data/pipeline.DeviceDataPipeline):
+    # upload the decoded uint8 dataset once, batches become on-device
+    # gathers — zero per-step H2D (the fix for tunnel/PCIe-bound epochs).
+    # Applies on a single device when the corpus fits the MB budget.
+    DEVICE_CACHE: bool = True
+    DEVICE_CACHE_MB: int = 3072
     PREFETCH_FACTOR: int = 2
     AUGMENTATION_TYPE: str = "transparent_watermark"
     # accepted extras from unet_text_watermark.yaml

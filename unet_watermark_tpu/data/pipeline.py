@@ -141,8 +141,119 @@ class DataPipeline:
             stop.set()
 
 
+class DeviceDataPipeline:
+    """Whole-corpus-in-HBM pipeline: the decoded uint8 dataset is uploaded
+    to the device ONCE, then every batch is a jitted on-device gather —
+    zero per-step H2D traffic.
+
+    Rationale: with the TPU reached through a network tunnel (or any
+    bandwidth-starved host link), per-batch H2D dominates the epoch — a
+    512²×32 uint8 batch is ~33 MB, measured ~7 s/batch through this
+    environment's tunnel vs a 0.32 s train step. A 1,200-image 512²
+    corpus is only ~1.26 GB as uint8 (image + mask), a fraction of HBM;
+    paying one upload per run turns epochs device-bound. This has no
+    reference counterpart (torch DataLoaders assume a local PCIe GPU,
+    /root/reference/src/train.py:240-260).
+
+    Single-device only (the host DataPipeline remains the multi-device
+    path: sharding a resident corpus per-device needs index-aligned
+    placement, not worth it below multi-GB corpora). Upload happens
+    lazily on first iteration; samples come from `dataset[i]` (uint8 HWC
+    image, uint8 HW mask) — with the decoded disk cache in front, the
+    one-time upload pass is also the cache warm.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 42, drop_remainder: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self._epoch = 0
+        self._images = None  # device uint8 (N,S,S,3)
+        self._masks = None   # device uint8 (N,S,S)
+        import jax.numpy as jnp  # local: keep module import light
+
+        def gather(images, masks, idx):
+            return {"image": jnp.take(images, idx, axis=0),
+                    "mask": jnp.take(masks, idx, axis=0)[..., None]}
+
+        self._gather = jax.jit(gather)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _ensure_device(self):
+        if self._images is not None:
+            return
+        import logging
+        import time
+        logger = logging.getLogger(__name__)
+        t0 = time.time()
+        imgs, msks = [], []
+        for i in range(len(self.dataset)):
+            im, mk = self.dataset[i]
+            imgs.append(np.asarray(im, dtype=np.uint8))
+            mk = np.asarray(mk)
+            msks.append((mk > (127 if mk.dtype == np.uint8 else 0.5))
+                        .astype(np.uint8))
+        host_i = np.stack(imgs)
+        host_m = np.stack(msks)
+        self._images = jax.device_put(host_i)
+        self._masks = jax.device_put(host_m)
+        jax.block_until_ready((self._images, self._masks))
+        logger.info(
+            "device-resident dataset: %d samples, %.2f GB uint8 uploaded "
+            "in %.1fs", len(imgs),
+            (host_i.nbytes + host_m.nbytes) / 2 ** 30, time.time() - t0)
+
+    def __iter__(self) -> Iterator[dict]:
+        self._ensure_device()
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(idx)
+        self._epoch += 1
+        bs = self.batch_size
+        for i in range(0, len(idx), bs):
+            chunk = idx[i:i + bs]
+            if len(chunk) < bs:
+                if self.drop_remainder:
+                    return
+                valid = np.zeros((bs,), np.float32)
+                valid[:len(chunk)] = 1.0
+                chunk = np.concatenate(
+                    [chunk, np.zeros((bs - len(chunk),), chunk.dtype)])
+            else:
+                valid = np.ones((bs,), np.float32)
+            batch = self._gather(self._images, self._masks,
+                                 jax.device_put(chunk.astype(np.int32)))
+            batch["valid"] = jax.device_put(valid)
+            yield batch
+
+
+def _device_cache_fits(cfg, *datasets) -> bool:
+    budget = getattr(cfg.DATA, "DEVICE_CACHE_MB", 3072) * (1 << 20)
+    s = cfg.DATA.IMG_SIZE
+    total = sum(len(d) for d in datasets) * s * s * 4  # u8 RGB + mask
+    return total <= budget
+
+
 def make_pipelines(cfg, train_ds, val_ds, mesh=None
                    ) -> Tuple[DataPipeline, DataPipeline]:
+    ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+    if (getattr(cfg.DATA, "DEVICE_CACHE", True) and ndev == 1
+            and _device_cache_fits(cfg, train_ds, val_ds)):
+        train = DeviceDataPipeline(
+            train_ds, cfg.TRAIN.BATCH_SIZE, shuffle=True,
+            seed=cfg.DATA.SEED)
+        val = DeviceDataPipeline(
+            val_ds, cfg.TRAIN.BATCH_SIZE, shuffle=False,
+            seed=cfg.DATA.SEED)
+        return train, val
     train = DataPipeline(
         train_ds, cfg.TRAIN.BATCH_SIZE, mesh=mesh, shuffle=True,
         seed=cfg.DATA.SEED, num_workers=cfg.DATA.NUM_WORKERS,

@@ -15,6 +15,9 @@ Available:
                   falls back to pushpull with a warning (LaMa's public
                   torch weights are runtime downloads the reference does;
                   zero-egress TPU pods can't).
+  * "diffusion" — diffusion/latent_diffusion.py native latent-diffusion
+                  inpainter (the in-framework analog of the reference's
+                  SD3/FLUX backends); pushpull fallback when untrained.
 """
 from __future__ import annotations
 
@@ -105,6 +108,26 @@ def resolve_inpaint_weights(explicit: Optional[str] = None,
     return resolve("inpaint", cfg=cfg, explicit=explicit)
 
 
+def _make_diffusion_engine(weights_path: Optional[str]):
+    """The native latent-diffusion inpainter as a registry engine
+    (images, masks) -> images. Falls back to pushpull (with a warning)
+    when no trained diffusion weights resolve — same contract as lama."""
+    from ..diffusion.latent_diffusion import LatentInpainter
+
+    try:
+        inpainter = LatentInpainter(weights_path)
+    except FileNotFoundError:
+        logger.warning(
+            "no trained weights for the diffusion engine — falling back "
+            "to pushpull (train with training/train_latent_diffusion.py)")
+        return _pushpull_jit()
+
+    def engine(images, masks):
+        return jnp.asarray(inpainter.inpaint(images, masks))
+
+    return engine
+
+
 def get_engine(name: str = "pushpull",
                weights_path: Optional[str] = None,
                cfg=None) -> Engine:
@@ -114,4 +137,6 @@ def get_engine(name: str = "pushpull",
     if name in ("lama", "big-lama", "mat"):
         return _make_lama_engine(name, resolve_inpaint_weights(
             weights_path, cfg))
+    if name in ("diffusion", "latent-diffusion", "ld"):
+        return _make_diffusion_engine(weights_path)
     raise ValueError(f"unknown inpaint engine '{name}'")

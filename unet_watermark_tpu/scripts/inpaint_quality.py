@@ -66,7 +66,7 @@ def evaluate_engines(clean_dir: str, engines: List[str],
 def main(argv=None):
     from ..utils.jaxtools import enable_compile_cache
 
-    logging.basicConfig(level=logging.INFO)
+    logging.basicConfig(level=logging.INFO, force=True)
     enable_compile_cache()
     p = argparse.ArgumentParser(description="inpaint hole-quality eval")
     p.add_argument("--clean-dir", required=True)

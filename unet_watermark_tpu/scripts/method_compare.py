@@ -160,7 +160,7 @@ def compare_methods(image_path: str, output_dir: str,
 
 
 def main(argv=None):
-    logging.basicConfig(level=logging.INFO)
+    logging.basicConfig(level=logging.INFO, force=True)
     p = argparse.ArgumentParser(
         description="per-method mask comparison report")
     p.add_argument("--image", required=True)

@@ -1,0 +1,385 @@
+"""Frozen quality protocol: ONE reproducible table for every shipped config.
+
+The reference publishes no accuracy numbers at all (SURVEY.md §6) and this
+repo's rounds 1-2 left quality claims scattered across commit messages
+taken on different data (round-1 "IoU 0.82" vs round-2 shipped "0.734"
+were not comparable). This script is the fix: a seed-frozen held-out set,
+regenerated bit-identically on any machine, scoring
+
+  * per segmentation checkpoint: raw-network mask IoU/F1/P/R at 0.5
+    threshold (no post-processing — measures the model) and pipeline IoU
+    (with the type-aware mask optimization the product runs),
+  * per inpaint engine: hole PSNR / whole-image SSIM on LaMa-protocol
+    random holes (scripts/inpaint_quality.py protocol),
+  * end-to-end repair: watermarked -> fused detect->optimize->inpaint ->
+    PSNR-to-clean, against the no-op floor PSNR(watermarked, clean).
+
+Seeds 7700/7701 are reserved for this protocol and used by no training
+run (training uses DATA.SEED=42 lineage). The set is NOT committed; it is
+regenerated on demand from the procedural generators (data/synth_clean.py,
+data/gen_data.py), which are seed-deterministic by design.
+
+    python -m unet_watermark_tpu.scripts.quality_report \
+        --workdir workspace/quality --limit 64
+
+Writes <workdir>/quality_report.json and (with --docs) refreshes the
+table block in docs/QUALITY.md between the AUTOGEN markers.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+CLEAN_SEED = 7700
+COMPOSE_SEED = 7701
+IMG_SIZE = 512
+
+
+# ---------------------------------------------------------------------------
+# frozen held-out set
+# ---------------------------------------------------------------------------
+
+def ensure_frozen_set(workdir: str, n: int = 64,
+                      img_size: int = IMG_SIZE) -> str:
+    """Generate (or reuse) the frozen triad set under <workdir>/heldout:
+    watermarked/ clean/ masks/, n images at 512². Idempotent: the
+    generators' per-index child RNGs make re-runs byte-identical, so an
+    existing complete directory is reused as-is."""
+    from ..data.gen_data import generate_dataset
+    from ..data.synth_clean import generate_clean_dataset, generate_logo_set
+
+    root = os.path.join(workdir, "heldout")
+    wm_dir = os.path.join(root, "watermarked")
+    if os.path.isdir(wm_dir) and len(os.listdir(wm_dir)) >= n:
+        return root
+    clean_src = os.path.join(workdir, "clean_src")
+    logos = os.path.join(workdir, "logos")
+    generate_clean_dataset(clean_src, count=max(16, n // 2),
+                           size=img_size, seed=CLEAN_SEED)
+    generate_logo_set(logos, count=12, seed=CLEAN_SEED + 1)
+    stats = generate_dataset(clean_src, root, logos_dir=logos, count=n,
+                             seed=COMPOSE_SEED)
+    logger.info("frozen held-out set: %s", stats)
+    return root
+
+
+def _load_triads(root: str, limit: int, img_size: int = IMG_SIZE):
+    """Yield (name, watermarked u8 RGB, clean u8 RGB, mask u8 {0,255}),
+    all at IMG_SIZE², sorted by name for determinism."""
+    import cv2
+
+    wm_dir = os.path.join(root, "watermarked")
+    cl_dir = os.path.join(root, "clean")
+    mk_dir = os.path.join(root, "masks")
+    names = sorted(os.listdir(wm_dir))[:limit]
+    for name in names:
+        stem = os.path.splitext(name)[0]
+        wm = cv2.cvtColor(cv2.imread(os.path.join(wm_dir, name)),
+                          cv2.COLOR_BGR2RGB)
+        cl = cv2.cvtColor(cv2.imread(os.path.join(cl_dir, name)),
+                          cv2.COLOR_BGR2RGB)
+        mk = cv2.imread(os.path.join(mk_dir, stem + ".png"),
+                        cv2.IMREAD_GRAYSCALE)
+        if wm.shape[0] != img_size:
+            wm = cv2.resize(wm, (img_size, img_size))
+            cl = cv2.resize(cl, (img_size, img_size))
+            mk = cv2.resize(mk, (img_size, img_size),
+                            interpolation=cv2.INTER_NEAREST)
+        yield name, wm, cl, mk
+
+
+# ---------------------------------------------------------------------------
+# segmentation eval
+# ---------------------------------------------------------------------------
+
+def eval_segmentation(root: str, limit: int, batch: int = 8,
+                      weights: Optional[str] = None,
+                      model_name: Optional[str] = None,
+                      encoder: Optional[str] = None,
+                      img_size: int = IMG_SIZE) -> Dict:
+    """Raw-network and pipeline mask quality for one seg checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..configs import get_cfg_defaults
+    from ..inference import maskproc
+    from ..models import create_model_from_config, init_model
+    from ..ops.augment import IMAGENET_MEAN, IMAGENET_STD
+    from ..utils.shipping import load_variables, resolve
+
+    cfg = get_cfg_defaults()
+    cfg.DATA.IMG_SIZE = img_size
+    if model_name:
+        cfg.MODEL.NAME = model_name
+    if encoder:
+        cfg.MODEL.ENCODER_NAME = encoder
+    model = create_model_from_config(cfg)
+    variables = init_model(model, img_size, seed=0)
+    path = resolve("seg", cfg=cfg, explicit=weights)
+    if not path or not os.path.exists(path):
+        return {"error": f"no weights resolve for {cfg.MODEL.NAME}/"
+                         f"{cfg.MODEL.ENCODER_NAME}"}
+    variables = load_variables(path, variables)
+    thr = cfg.PREDICT.THRESHOLD
+
+    @jax.jit
+    def fwd(x01):
+        norm = (x01 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        logits = model.apply(variables, norm, train=False)
+        probs = jax.nn.sigmoid(logits[..., 0])
+        raw = (probs > thr).astype(jnp.float32)
+        opt = jax.vmap(maskproc.optimize_watermark_mask)(raw)
+        return raw, opt
+
+    tp = fp = fn = 0.0
+    tp_o = fp_o = fn_o = 0.0
+    buf_img, buf_msk = [], []
+
+    def flush():
+        nonlocal tp, fp, fn, tp_o, fp_o, fn_o
+        if not buf_img:
+            return
+        x = jnp.asarray(np.stack(buf_img), jnp.float32) / 255.0
+        raw, opt = fwd(x)
+        raw = np.asarray(raw)
+        opt = np.asarray(opt)
+        gt = np.stack(buf_msk) > 127
+        for pred, acc in ((raw > 0.5, "raw"), (opt > 0.5, "opt")):
+            t = float(np.sum(pred & gt))
+            f_p = float(np.sum(pred & ~gt))
+            f_n = float(np.sum(~pred & gt))
+            if acc == "raw":
+                tp, fp, fn = tp + t, fp + f_p, fn + f_n
+            else:
+                tp_o, fp_o, fn_o = tp_o + t, fp_o + f_p, fn_o + f_n
+        buf_img.clear()
+        buf_msk.clear()
+
+    n = 0
+    for _, wm, _, mk in _load_triads(root, limit, img_size):
+        buf_img.append(wm)
+        buf_msk.append(mk)
+        n += 1
+        if len(buf_img) == batch:
+            flush()
+    flush()
+
+    def stats(t, f_p, f_n):
+        iou = t / max(t + f_p + f_n, 1e-7)
+        prec = t / max(t + f_p, 1e-7)
+        rec = t / max(t + f_n, 1e-7)
+        f1 = 2 * prec * rec / max(prec + rec, 1e-7)
+        return {"iou": round(iou, 4), "f1": round(f1, 4),
+                "precision": round(prec, 4), "recall": round(rec, 4)}
+
+    return {"weights": path, "model": cfg.MODEL.NAME,
+            "encoder": cfg.MODEL.ENCODER_NAME, "n_images": n,
+            "raw": stats(tp, fp, fn), "pipeline": stats(tp_o, fp_o, fn_o)}
+
+
+# ---------------------------------------------------------------------------
+# inpaint + e2e eval
+# ---------------------------------------------------------------------------
+
+def eval_inpaint_engines(workdir: str, limit: int,
+                         engines: List[str]) -> Dict:
+    """Hole-quality per engine on the frozen clean images (the
+    inpaint_quality protocol, pinned to this report's frozen corpus)."""
+    from .inpaint_quality import evaluate_engines
+
+    clean_src = os.path.join(workdir, "clean_src")
+    return evaluate_engines(clean_src, engines, img_size=256,
+                            batch_size=8, limit=min(limit, 32),
+                            seed=CLEAN_SEED)
+
+
+def eval_e2e_repair(root: str, limit: int, batch: int = 8,
+                    seg_weights: Optional[str] = None,
+                    img_size: int = IMG_SIZE) -> Dict:
+    """Watermarked -> fused detect->optimize->inpaint -> PSNR to clean,
+    for each available fill engine, vs the no-op floor."""
+    import jax.numpy as jnp
+
+    from ..configs import get_cfg_defaults
+    from ..inference.predict import WatermarkPredictor
+
+    cfg = get_cfg_defaults()
+    cfg.DATA.IMG_SIZE = img_size
+    predictor = WatermarkPredictor(model_path=seg_weights, config=cfg)
+
+    names, wms, cls, mks = [], [], [], []
+    for name, wm, cl, mk in _load_triads(root, limit, img_size):
+        names.append(name)
+        wms.append(wm)
+        cls.append(cl)
+        mks.append(mk)
+    wm01 = np.stack(wms).astype(np.float32) / 255.0
+    cl01 = np.stack(cls).astype(np.float32) / 255.0
+    gt = (np.stack(mks) > 127).astype(np.float32)[..., None]
+
+    out: Dict = {"n_images": len(names)}
+    # no-op floor: how wrong the watermarked image already is
+    out["floor"] = {
+        "psnr_to_clean_db": _mean_psnr(wm01, cl01),
+        "region_psnr_db": _mean_psnr(wm01, cl01, gt),
+    }
+    for engine in ("pushpull", "lama"):
+        fused = predictor.make_fused_repair_fn(inpaint_engine=engine)
+        rep = []
+        for i in range(0, len(names), batch):
+            rep.append(np.asarray(fused(jnp.asarray(wm01[i:i + batch]))))
+        rep01 = np.concatenate(rep)
+        out[engine] = {
+            "engine_used": fused.engine_used,
+            "psnr_to_clean_db": _mean_psnr(rep01, cl01),
+            "region_psnr_db": _mean_psnr(rep01, cl01, gt),
+        }
+    return out
+
+
+def _mean_psnr(a: np.ndarray, b: np.ndarray,
+               region: Optional[np.ndarray] = None) -> float:
+    if region is None:
+        se = ((a - b) ** 2).mean(axis=(1, 2, 3))
+    else:
+        w = np.broadcast_to(region, a.shape)
+        se = (((a - b) ** 2) * w).sum(axis=(1, 2, 3)) / np.maximum(
+            w.sum(axis=(1, 2, 3)), 1.0)
+    return round(float(np.mean(10.0 * np.log10(1.0 / np.maximum(
+        se, 1e-10)))), 2)
+
+
+# ---------------------------------------------------------------------------
+# report
+# ---------------------------------------------------------------------------
+
+def build_report(workdir: str, limit: int = 64,
+                 seg_configs: Optional[List[Dict]] = None,
+                 img_size: int = IMG_SIZE) -> Dict:
+    root = ensure_frozen_set(workdir, n=limit, img_size=img_size)
+    seg_configs = seg_configs or [
+        {"model_name": "UnetPlusPlus", "encoder": "resnet34"},
+        {"model_name": "Unet", "encoder": "resnet34"},
+    ]
+    report: Dict = {
+        "protocol": {"clean_seed": CLEAN_SEED, "compose_seed": COMPOSE_SEED,
+                     "img_size": img_size, "n_images": limit},
+        "segmentation": {},
+    }
+    for sc in seg_configs:
+        key = f"{sc['model_name'].lower()}_{sc['encoder']}"
+        logger.info("seg eval: %s", key)
+        report["segmentation"][key] = eval_segmentation(
+            root, limit, weights=sc.get("weights"),
+            model_name=sc["model_name"], encoder=sc["encoder"],
+            img_size=img_size)
+    logger.info("inpaint engine eval")
+    report["inpaint"] = eval_inpaint_engines(workdir, limit,
+                                             ["pushpull", "lama"])
+    logger.info("e2e repair eval")
+    report["e2e_repair"] = eval_e2e_repair(root, limit, img_size=img_size)
+    return report
+
+
+def render_markdown(report: Dict) -> str:
+    lines = []
+    p = report["protocol"]
+    lines.append(f"Protocol: {p['n_images']} held-out 512² triads, "
+                 f"seeds {p['clean_seed']}/{p['compose_seed']} "
+                 f"(reserved; disjoint from all training seeds).")
+    lines.append("")
+    lines.append("### Segmentation (held-out masks)")
+    lines.append("")
+    lines.append("| config | raw IoU | raw F1 | pipeline IoU | "
+                 "precision | recall |")
+    lines.append("|---|---|---|---|---|---|")
+    for key, s in report["segmentation"].items():
+        if "error" in s:
+            lines.append(f"| {key} | — | — | — | — | — | ({s['error']}) ")
+            continue
+        lines.append(
+            f"| {key} | {s['raw']['iou']:.3f} | {s['raw']['f1']:.3f} | "
+            f"{s['pipeline']['iou']:.3f} | {s['raw']['precision']:.3f} | "
+            f"{s['raw']['recall']:.3f} |")
+    lines.append("")
+    lines.append("### Inpainting (LaMa-protocol random holes, 256²)")
+    lines.append("")
+    lines.append("| engine | hole PSNR (dB) | SSIM |")
+    lines.append("|---|---|---|")
+    for k, v in report["inpaint"].items():
+        if not isinstance(v, dict):
+            continue
+        lines.append(f"| {k} | {v['hole_psnr_db']} | {v['ssim']} |")
+    lines.append("")
+    lines.append("### End-to-end repair (fused detect→optimize→inpaint)")
+    lines.append("")
+    lines.append("| path | PSNR to clean (dB) | watermark-region PSNR |")
+    lines.append("|---|---|---|")
+    e = report["e2e_repair"]
+    lines.append(f"| no-op floor (watermarked) | "
+                 f"{e['floor']['psnr_to_clean_db']} | "
+                 f"{e['floor']['region_psnr_db']} |")
+    for k in ("pushpull", "lama"):
+        v = e.get(k)
+        if v:
+            lines.append(f"| {k} [{v['engine_used']}] | "
+                         f"{v['psnr_to_clean_db']} | {v['region_psnr_db']} |")
+    return "\n".join(lines)
+
+
+AUTOGEN_BEGIN = "<!-- AUTOGEN:quality_report BEGIN -->"
+AUTOGEN_END = "<!-- AUTOGEN:quality_report END -->"
+
+
+def update_docs(report: Dict, docs_path: str) -> None:
+    block = f"{AUTOGEN_BEGIN}\n{render_markdown(report)}\n{AUTOGEN_END}"
+    if os.path.exists(docs_path):
+        text = open(docs_path).read()
+        if AUTOGEN_BEGIN in text:
+            head = text.split(AUTOGEN_BEGIN)[0]
+            tail = text.split(AUTOGEN_END)[-1]
+            text = head + block + tail
+        else:
+            text += "\n" + block + "\n"
+    else:
+        text = ("# Quality record\n\nRegenerated per round by "
+                "`python -m unet_watermark_tpu.scripts.quality_report "
+                "--docs`.\n\n" + block + "\n")
+    with open(docs_path, "w") as f:
+        f.write(text)
+
+
+def main(argv=None):
+    from ..utils.jaxtools import enable_compile_cache
+
+    logging.basicConfig(level=logging.INFO, force=True)
+    enable_compile_cache()
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--workdir", default="workspace/quality")
+    ap.add_argument("--limit", type=int, default=64)
+    ap.add_argument("--img-size", type=int, default=IMG_SIZE)
+    ap.add_argument("--docs", action="store_true",
+                    help="refresh docs/QUALITY.md AUTOGEN block")
+    args = ap.parse_args(argv)
+    report = build_report(args.workdir, args.limit,
+                          img_size=args.img_size)
+    os.makedirs(args.workdir, exist_ok=True)
+    out = os.path.join(args.workdir, "quality_report.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+    if args.docs:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        update_docs(report, os.path.join(repo, "docs", "QUALITY.md"))
+
+
+if __name__ == "__main__":
+    main()

@@ -102,7 +102,7 @@ def run_all() -> Dict:
 
 
 def main(argv=None):
-    logging.basicConfig(level=logging.INFO)
+    logging.basicConfig(level=logging.INFO, force=True)
     p = argparse.ArgumentParser(description="text watermark diagnosis")
     p.parse_args(argv)
     import json

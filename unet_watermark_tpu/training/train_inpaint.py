@@ -99,8 +99,13 @@ def inpaint_loss(pred: jax.Array, target: jax.Array,
 # ---------------------------------------------------------------------------
 
 def load_clean_batches(clean_dir: str, batch: int, size: int,
-                       seed: int = 0) -> Iterator[np.ndarray]:
-    """Endless host iterator of (batch, size, size, 3) float [0,1] crops."""
+                       seed: int = 0,
+                       cache_mb: int = 4096) -> Iterator[np.ndarray]:
+    """Endless host iterator of (batch, size, size, 3) float [0,1] crops.
+
+    Decoded images are kept in RAM (uint8, up to `cache_mb`) so each file
+    pays JPEG decode once — on the 1-core TPU host, per-batch decode made
+    the round-2 GAN training host-bound (~2 s/step at batch 16)."""
     import cv2
 
     files = sorted(
@@ -109,18 +114,34 @@ def load_clean_batches(clean_dir: str, batch: int, size: int,
     if not files:
         raise FileNotFoundError(f"no images in {clean_dir}")
     rng = np.random.default_rng(seed)
+    cache: dict = {}
+    cache_bytes = 0
+    budget = cache_mb * (1 << 20)
+
+    def decoded(p: str):
+        nonlocal cache_bytes
+        img = cache.get(p)
+        if img is not None:
+            return img
+        img = cv2.imread(p)
+        if img is None:
+            return None
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        h, w = img.shape[:2]
+        if min(h, w) < size:
+            img = cv2.resize(img, (max(size, w), max(size, h)))
+        if cache_bytes + img.nbytes <= budget:
+            cache[p] = img
+            cache_bytes += img.nbytes
+        return img
+
     while True:
         out = []
         for _ in range(batch):
-            p = files[rng.integers(len(files))]
-            img = cv2.imread(p)
+            img = decoded(files[rng.integers(len(files))])
             if img is None:
                 continue
-            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
             h, w = img.shape[:2]
-            if min(h, w) < size:
-                img = cv2.resize(img, (max(size, w), max(size, h)))
-                h, w = img.shape[:2]
             y0 = rng.integers(0, h - size + 1)
             x0 = rng.integers(0, w - size + 1)
             out.append(img[y0:y0 + size, x0:x0 + size].astype(

@@ -120,13 +120,27 @@ def train_latent_diffusion(clean_dir: str, output_dir: str,
     ckptr.save(path, {"ae": ae_params, "denoiser": dn_params})
     ckptr.wait_until_finished()
     logger.info("latent-diffusion weights saved: %s", path)
-    return {"checkpoint": path}
+    return {"checkpoint": path,
+            "params": {"ae": ae_params, "denoiser": dn_params}}
+
+
+def ship_weights(params, dest: str = None) -> str:
+    """Write the trained tree as the shipped bf16 .npz distribution file
+    (default: unet_watermark_tpu/weights/latent_diffusion.npz — the path
+    utils/shipping.resolve('diffusion') finds first)."""
+    from ..utils.shipping import save_params_npz, weights_dir
+
+    dest = dest or os.path.join(weights_dir(), "latent_diffusion.npz")
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    save_params_npz(dest, params)
+    logger.info("shipped diffusion weights: %s", dest)
+    return dest
 
 
 def main(argv=None):
     from ..utils.jaxtools import enable_compile_cache
 
-    logging.basicConfig(level=logging.INFO)
+    logging.basicConfig(level=logging.INFO, force=True)
     enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--clean-dir", required=True)
@@ -136,11 +150,18 @@ def main(argv=None):
     p.add_argument("--ae-steps", type=int, default=2000)
     p.add_argument("--dn-steps", type=int, default=6000)
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--ship", action="store_true",
+                   help="also write the bf16 .npz distribution file "
+                        "under unet_watermark_tpu/weights/")
     args = p.parse_args(argv)
     r = train_latent_diffusion(args.clean_dir, args.output, args.img_size,
                                args.batch_size, args.ae_steps, args.dn_steps,
                                args.lr)
-    print(r)
+    if args.ship:
+        r["shipped"] = ship_weights(r.pop("params"))
+    else:
+        r.pop("params", None)
+    print({k: v for k, v in r.items() if k != "params"})
 
 
 if __name__ == "__main__":
