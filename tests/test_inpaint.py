@@ -130,3 +130,31 @@ def test_psnr_ssim_metrics():
     c = a.copy()
     c[:, 32:, 32:] += 0.5
     assert float(metrics_lib.psnr(np.clip(c, 0, 1), a, mask=m)) > 40
+
+
+def test_device_clean_sampler(tmp_path):
+    """Uniform corpus -> jitted on-device crops; mixed shapes -> None."""
+    import cv2
+
+    from unet_watermark_tpu.training.train_inpaint import (
+        device_clean_sampler,
+    )
+
+    d = tmp_path / "clean"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        cv2.imwrite(str(d / f"c{i}.png"),
+                    rng.integers(0, 255, (48, 48, 3), np.uint8))
+    sample, n = device_clean_sampler(str(d), batch=4, size=32, seed=0)
+    assert n == 3
+    out = np.asarray(sample(jax.random.PRNGKey(0)))
+    assert out.shape == (4, 32, 32, 3)
+    assert out.dtype == np.float32
+    assert 0.0 <= out.min() and out.max() <= 1.0
+    out2 = np.asarray(sample(jax.random.PRNGKey(1)))
+    assert not np.array_equal(out, out2)
+
+    cv2.imwrite(str(d / "odd.png"),
+                rng.integers(0, 255, (64, 48, 3), np.uint8))
+    assert device_clean_sampler(str(d), batch=4, size=32) is None

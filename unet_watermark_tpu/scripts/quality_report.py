@@ -281,8 +281,11 @@ def build_report(workdir: str, limit: int = 64,
             model_name=sc["model_name"], encoder=sc["encoder"],
             img_size=img_size)
     logger.info("inpaint engine eval")
-    report["inpaint"] = eval_inpaint_engines(workdir, limit,
-                                             ["pushpull", "lama"])
+    from ..utils.shipping import resolve
+    engines = ["pushpull", "lama"]
+    if resolve("diffusion"):
+        engines.append("diffusion")
+    report["inpaint"] = eval_inpaint_engines(workdir, limit, engines)
     logger.info("e2e repair eval")
     report["e2e_repair"] = eval_e2e_repair(root, limit, img_size=img_size)
     return report

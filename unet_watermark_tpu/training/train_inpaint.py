@@ -98,6 +98,75 @@ def inpaint_loss(pred: jax.Array, target: jax.Array,
 # trainer
 # ---------------------------------------------------------------------------
 
+def device_clean_sampler(clean_dir: str, batch: int, size: int,
+                         seed: int = 0, max_mb: int = 2048):
+    """Device-resident clean corpus: upload every image to HBM once
+    (uint8), return a jitted `sample(key) -> (batch, size, size, 3) f32`
+    of random crops taken ON DEVICE — zero per-step H2D.
+
+    Rationale: the host iterator ships ~12 MB fp32 batches per step;
+    through this environment's ~7 MB/s device tunnel that made the GAN /
+    diffusion trainers transfer-bound (~2 s/step against a ~50 ms step).
+    Mirrors data/pipeline.DeviceDataPipeline for the seg trainer.
+
+    Returns (sample_fn, n_images), or None when the corpus has mixed
+    shapes or exceeds `max_mb` (callers fall back to load_clean_batches).
+    """
+    import cv2
+
+    files = sorted(
+        os.path.join(clean_dir, f) for f in os.listdir(clean_dir)
+        if f.lower().endswith((".jpg", ".jpeg", ".png", ".webp")))
+    if not files:
+        raise FileNotFoundError(f"no images in {clean_dir}")
+    imgs, shape, total = [], None, 0
+    for p in files:
+        img = cv2.imread(p)
+        if img is None:
+            continue
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if min(img.shape[:2]) < size:
+            return None
+        if shape is None:
+            shape = img.shape
+        if img.shape != shape:
+            return None
+        total += img.nbytes
+        if total > max_mb * (1 << 20):
+            return None
+        imgs.append(img)
+    if not imgs:
+        return None
+    data = jax.device_put(np.stack(imgs))
+    h, w = shape[:2]
+    n = len(imgs)
+
+    # the corpus must be a jit ARGUMENT, not a closure capture: captured
+    # arrays are treated as program constants and embedded in the compile
+    # payload (a 0.9 GB corpus overflows any remote-compile transport)
+    @jax.jit
+    def _sample(corpus, key):
+        ki, ky, kx = jax.random.split(key, 3)
+        idx = jax.random.randint(ki, (batch,), 0, n)
+        ys = jax.random.randint(ky, (batch,), 0, h - size + 1)
+        xs = jax.random.randint(kx, (batch,), 0, w - size + 1)
+
+        def crop(i, y, x):
+            sl = jax.lax.dynamic_slice(
+                corpus, (i, y, x, 0), (1, size, size, 3))
+            return sl[0]
+
+        out = jax.vmap(crop)(idx, ys, xs)
+        return out.astype(jnp.float32) / 255.0
+
+    def sample(key):
+        return _sample(data, key)
+
+    logger.info("device-resident clean corpus: %d images (%.2f GB uint8)",
+                n, total / 2 ** 30)
+    return sample, n
+
+
 def load_clean_batches(clean_dir: str, batch: int, size: int,
                        seed: int = 0,
                        cache_mb: int = 4096) -> Iterator[np.ndarray]:

@@ -32,7 +32,8 @@ from ..diffusion.latent_diffusion import (
     alpha_bars,
     init_ld_variables,
 )
-from .train_inpaint import load_clean_batches, random_mask_batch
+from .train_inpaint import (device_clean_sampler, load_clean_batches,
+                            random_mask_batch)
 
 logger = logging.getLogger(__name__)
 
@@ -61,11 +62,26 @@ def train_latent_diffusion(clean_dir: str, output_dir: str,
         updates, new_opt = ae_tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), new_opt, loss
 
-    batches = load_clean_batches(clean_dir, batch_size, img_size, seed)
+    # device-resident corpus when it fits: crops are generated on device,
+    # so each step's H2D is one PRNG key instead of a ~12 MB fp32 batch
+    # (transfer-bound through a device tunnel; see device_clean_sampler)
+    sampler = device_clean_sampler(clean_dir, batch_size, img_size, seed)
+    if sampler is not None:
+        sample_fn, _ = sampler
+        skey = jax.random.PRNGKey(seed + 11)
+
+        def next_images(i):
+            return sample_fn(jax.random.fold_in(skey, i))
+    else:
+        batches = load_clean_batches(clean_dir, batch_size, img_size, seed)
+
+        def next_images(i):
+            return jnp.asarray(next(batches))
+
     t0 = time.time()
     ae_params = variables["ae"]
     for i in range(ae_steps):
-        images = jnp.asarray(next(batches))
+        images = next_images(i)
         ae_params, ae_opt, loss = ae_step(ae_params, ae_opt, images)
         if (i + 1) % log_every == 0:
             logger.info("[ae] step %d: l1=%.4f (%.1f img/s)", i + 1,
@@ -103,7 +119,7 @@ def train_latent_diffusion(clean_dir: str, output_dir: str,
     t0 = time.time()
     for i in range(dn_steps):
         key, sub = jax.random.split(key)
-        images = jnp.asarray(next(batches))
+        images = next_images(ae_steps + i)
         dn_params, dn_opt, loss = dn_step(dn_params, dn_opt, images, sub)
         if (i + 1) % log_every == 0:
             logger.info("[denoiser] step %d: mse=%.4f (%.1f img/s)", i + 1,
