@@ -99,6 +99,36 @@ def _load_triads(root: str, limit: int, img_size: int = IMG_SIZE):
 # segmentation eval
 # ---------------------------------------------------------------------------
 
+def _cv2_optimize_watermark_mask(mask01: np.ndarray) -> np.ndarray:
+    """Host cv2 mirror of maskproc.optimize_watermark_mask (the device
+    chain is cv2-parity-tested, tests/test_maskproc.py): open(3) →
+    close(7)x3 → close(11)x2 → dilate(9)x2 → largest-component rule →
+    Gaussian(3, 0.5) + re-threshold. Used here so the quality table does
+    not need the long-compile vmapped CC graph on device — the numbers
+    are the same pipeline by construction."""
+    import cv2
+
+    def k(n):
+        return cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (n, n))
+
+    x = (mask01 > 0.5).astype(np.uint8)
+    x = cv2.morphologyEx(x, cv2.MORPH_OPEN, k(3), iterations=1)
+    x = cv2.morphologyEx(x, cv2.MORPH_CLOSE, k(7), iterations=3)
+    x = cv2.morphologyEx(x, cv2.MORPH_CLOSE, k(11), iterations=2)
+    x = cv2.dilate(x, k(9), iterations=2)
+    nl, labels, stats, _ = cv2.connectedComponentsWithStats(x, 8)
+    if nl > 1:
+        areas = stats[1:, cv2.CC_STAT_AREA]
+        imax = 1 + int(np.argmax(areas))
+        if areas[imax - 1] >= 500:
+            x = (labels == imax).astype(np.uint8)
+        else:
+            x = np.isin(labels, [i for i, a in enumerate(areas, 1)
+                                 if a > 200]).astype(np.uint8)
+    x = cv2.GaussianBlur(x.astype(np.float32), (3, 3), 0.5)
+    return (x > 0.5).astype(np.uint8)
+
+
 def eval_segmentation(root: str, limit: int, batch: int = 8,
                       weights: Optional[str] = None,
                       model_name: Optional[str] = None,
@@ -109,7 +139,6 @@ def eval_segmentation(root: str, limit: int, batch: int = 8,
     import jax.numpy as jnp
 
     from ..configs import get_cfg_defaults
-    from ..inference import maskproc
     from ..models import create_model_from_config, init_model
     from ..ops.augment import IMAGENET_MEAN, IMAGENET_STD
     from ..utils.shipping import load_variables, resolve
@@ -134,9 +163,7 @@ def eval_segmentation(root: str, limit: int, batch: int = 8,
         norm = (x01 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
         logits = model.apply(variables, norm, train=False)
         probs = jax.nn.sigmoid(logits[..., 0])
-        raw = (probs > thr).astype(jnp.float32)
-        opt = jax.vmap(maskproc.optimize_watermark_mask)(raw)
-        return raw, opt
+        return (probs > thr).astype(jnp.float32)
 
     tp = fp = fn = 0.0
     tp_o = fp_o = fn_o = 0.0
@@ -147,9 +174,8 @@ def eval_segmentation(root: str, limit: int, batch: int = 8,
         if not buf_img:
             return
         x = jnp.asarray(np.stack(buf_img), jnp.float32) / 255.0
-        raw, opt = fwd(x)
-        raw = np.asarray(raw)
-        opt = np.asarray(opt)
+        raw = np.asarray(fwd(x))
+        opt = np.stack([_cv2_optimize_watermark_mask(r) for r in raw])
         gt = np.stack(buf_msk) > 127
         for pred, acc in ((raw > 0.5, "raw"), (opt > 0.5, "opt")):
             t = float(np.sum(pred & gt))
@@ -200,7 +226,7 @@ def eval_inpaint_engines(workdir: str, limit: int,
                             seed=CLEAN_SEED)
 
 
-def eval_e2e_repair(root: str, limit: int, batch: int = 8,
+def eval_e2e_repair(root: str, limit: int, batch: int = 16,
                     seg_weights: Optional[str] = None,
                     img_size: int = IMG_SIZE) -> Dict:
     """Watermarked -> fused detect->optimize->inpaint -> PSNR to clean,
