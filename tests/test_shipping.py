@@ -110,7 +110,12 @@ def test_every_shipped_weight_is_resolvable_and_loadable():
             from unet_watermark_tpu.models import (
                 create_model_from_config, init_model)
 
-            cfg = get_cfg_defaults()  # flagship UnetPlusPlus/resnet34
+            # filename encodes the config: seg_<model>_<encoder>.npz
+            # (both the UNet++ quality tier and the Unet speed tier ship)
+            model_name, _, encoder = fname[4:-4].rpartition("_")
+            cfg = get_cfg_defaults()
+            cfg.MODEL.NAME = model_name
+            cfg.MODEL.ENCODER_NAME = encoder
             assert shipping.resolve("seg", cfg) == full, \
                 f"{fname} not the registry's seg resolution"
             model = create_model_from_config(cfg)
