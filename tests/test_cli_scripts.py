@@ -173,7 +173,9 @@ def test_auto_train_single_cycle(workspace):
     ac = AutoTrainConfig(
         project_root=str(workspace), max_cycles=1, epochs_per_cycle=1,
         batch_size=4, output_dir="auto_out", samples=4,
-        prediction_limit=2, generate_video=True, inpaint_model="pushpull")
+        prediction_limit=2, generate_video=True, inpaint_model="pushpull",
+        heldout_eval_dir=str(workspace / "data" / "train"),
+        heldout_eval_limit=2)
     loop = AutoTrainingLoop(ac, base_cfg=cfg)
     report = loop.run_all_cycles()
     assert report["cycles_completed"] == 1
@@ -184,6 +186,12 @@ def test_auto_train_single_cycle(workspace):
     info = json.load(open(out / "cycle_0_info.json"))
     assert info["steps"]["training"]["epochs_run"] >= 1
     assert info["steps"]["data_augmentation"]["generated"] > 0
+    # the per-cycle held-out eval scored the cycle's checkpoint on the
+    # frozen protocol (orbax dir loaded through the unified registry)
+    held = info["steps"]["heldout_eval"]
+    assert held["error"] is None
+    assert held["n_images"] == 2
+    assert 0.0 <= held["raw"]["iou"] <= 1.0
 
 
 def test_cli_repair_with_video(workspace, tmp_path):

@@ -164,3 +164,26 @@ def test_engine_loads_npz(tmp_path):
     assert out.shape == img.shape
     # known pixels pass through exactly (composited output)
     np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-3)
+
+
+def test_load_variables_training_checkpoint_dir(tmp_path):
+    """load_variables on a training checkpoint dir (the `tree/` layout of
+    training/checkpoint.save_checkpoint) restores params/batch_stats and
+    drops opt_state/step — so auto-train's per-cycle held-out eval can
+    point eval_segmentation at a cycle checkpoint directly."""
+    import orbax.checkpoint as ocp
+
+    tree = _tree()
+    tree["opt_state"] = {"mu": jnp.zeros((4,), jnp.float32)}
+    path = str(tmp_path / "checkpoint_epoch_0003")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, "tree"), tree)
+    ckptr.wait_until_finished()
+
+    template = {"params": _tree()["params"],
+                "batch_stats": _tree()["batch_stats"]}
+    out = shipping.load_variables(path, template)
+    assert set(out) == {"params", "batch_stats"}
+    np.testing.assert_allclose(
+        np.asarray(out["params"]["conv"]["kernel"], np.float32),
+        np.asarray(tree["params"]["conv"]["kernel"], np.float32))

@@ -48,6 +48,13 @@ class AutoTrainConfig:
     logos_dir: str = "data/logos"
     generate_video: bool = True
     inpaint_model: str = "lama"
+    # Optional frozen held-out triad dir (watermarked/ clean/ masks/, the
+    # docs/QUALITY.md protocol layout). When set, each cycle ends with a
+    # held-out raw-IoU evaluation of its newest checkpoint, making
+    # cycle-over-cycle quality movement legible in cycle_info.json —
+    # the reference only eyeballs videos (auto_train.py:258-304).
+    heldout_eval_dir: str = ""
+    heldout_eval_limit: int = 32
 
 
 class AutoTrainingLoop:
@@ -175,6 +182,33 @@ class AutoTrainingLoop:
         return {"generated": sum(v for k, v in stats.items()
                                  if k != "skipped"), **stats}
 
+    def step6_heldout_eval(self, cycle: int) -> Optional[Dict]:
+        """Score the cycle's newest checkpoint on the frozen held-out
+        protocol (scripts/quality_report.eval_segmentation) so the loop
+        reports objective cycle-over-cycle movement, not just val loss."""
+        root = self.config.heldout_eval_dir
+        if not root:
+            return None
+        from ..scripts.quality_report import eval_segmentation
+        from .checkpoint import latest_checkpoint
+
+        ckpt = latest_checkpoint(self.cfg.TRAIN.CHECKPOINT_DIR)
+        if not ckpt:
+            # short cycles may not cross SAVE_INTERVAL; the best-model
+            # checkpoint is written every improvement (train.py:369)
+            best = os.path.join(self.cfg.TRAIN.CHECKPOINT_DIR, "best_model")
+            ckpt = best if os.path.isdir(os.path.join(best, "tree")) else None
+        if not ckpt:
+            return None
+        res = eval_segmentation(
+            root, limit=self.config.heldout_eval_limit,
+            weights=ckpt, model_name=self.cfg.MODEL.NAME,
+            encoder=self.cfg.MODEL.ENCODER_NAME,
+            img_size=self.cfg.DATA.IMG_SIZE)
+        return {"checkpoint": ckpt, "n_images": res.get("n_images"),
+                "raw": res.get("raw"), "pipeline": res.get("pipeline"),
+                "error": res.get("error")}
+
     # ------------------------------------------------------------------
     def run_cycle(self, cycle: int) -> Dict:
         """auto_train.py:492-553."""
@@ -201,6 +235,10 @@ class AutoTrainingLoop:
 
             aug = self.step5_data_augmentation(cycle)
             info["steps"]["data_augmentation"] = aug
+
+            held = self.step6_heldout_eval(cycle)
+            if held is not None:
+                info["steps"]["heldout_eval"] = held
             info["status"] = "success"
         except Exception as e:  # noqa: BLE001
             logger.exception("cycle %d failed: %s", cycle, e)

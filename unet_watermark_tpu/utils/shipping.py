@@ -99,11 +99,22 @@ def resolve(kind: str, cfg=None, explicit: Optional[str] = None,
 def load_variables(path: str, template: Any) -> Any:
     """Format-agnostic weight loading into `template`'s structure:
     a .npz file goes through load_params_npz (the bf16 distribution
-    format); anything else is treated as an orbax checkpoint directory.
-    This is the ONE loader every engine uses — predict, engines, and
-    diffusion — so a path that resolves always loads the same way."""
+    format); a training checkpoint directory (containing `tree/`, as
+    written by training/checkpoint.save_checkpoint) is restored raw and
+    filtered down to the template's top-level keys — the checkpoint also
+    carries opt_state/step, which inference templates don't want; any
+    other path is treated as a bare orbax pytree directory. This is the
+    ONE loader every engine uses — predict, engines, and diffusion — so
+    a path that resolves always loads the same way."""
     if os.path.isfile(path) and path.endswith(".npz"):
         return load_params_npz(path, template)
+    if os.path.isdir(os.path.join(path, "tree")):
+        from ..training.checkpoint import restore_raw
+
+        tree, _ = restore_raw(path)
+        if isinstance(template, dict):
+            return {k: tree[k] for k in template if k in tree}
+        return tree
     import orbax.checkpoint as ocp
 
     restored = ocp.StandardCheckpointer().restore(
