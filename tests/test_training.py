@@ -150,6 +150,40 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == int(state.step)
 
 
+def test_slim_best_save_restores_params_with_fresh_optimizer(tmp_path):
+    """Best-model saves are inference-grade (no opt_state — the
+    reference's best file is likewise slimmer, train.py:428-435): the
+    slim checkpoint must restore params/batch_stats exactly and fall
+    back to a fresh optimizer state, and must not store Adam m/v."""
+    from unet_watermark_tpu.utils.async_ckpt import slim_snapshot
+
+    cfg = small_cfg(str(tmp_path))
+    model, state = create_train_state(cfg)
+    loss_fn = losses_lib.get_loss_function(cfg)
+    step = make_train_step(model, loss_fn, "basic", donate=False)
+    state, _ = step(state, _synthetic_batch(), jax.random.PRNGKey(0))
+
+    snap = slim_snapshot(state)
+    assert snap.opt_state is None
+    path = save_checkpoint(str(tmp_path / "ck"), "best_model", snap,
+                           {"epoch": 1, "best_val_loss": 0.5})
+    from unet_watermark_tpu.training.checkpoint import restore_raw
+    tree, _ = restore_raw(path)
+    assert "opt_state" not in tree
+
+    _, fresh = create_train_state(cfg)
+    restored, meta = restore_checkpoint(path, fresh)
+    assert meta["epoch"] == 1
+    for x, y in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+    # fresh optimizer state: Adam moments are zero
+    mom = [leaf for leaf in jax.tree_util.tree_leaves(restored.opt_state)
+           if hasattr(leaf, "shape") and getattr(leaf, "size", 0) > 1]
+    assert mom and all(float(np.abs(np.asarray(m)).max()) == 0.0
+                       for m in mom)
+
+
 def test_end_to_end_train_on_files(data_root, tmp_path):
     """Minimum e2e slice (SURVEY.md §7.2): files → train() → checkpoint +
     history + .pth; val metrics populated; loss finite."""

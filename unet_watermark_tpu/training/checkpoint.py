@@ -41,9 +41,13 @@ def save_checkpoint(directory: str, name: str, state, meta: Dict[str, Any]
     pytree = {
         "params": state.params,
         "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
         "step": state.step,
     }
+    # slim (inference-grade) snapshots carry no optimizer state — the
+    # reference's best-model file is likewise a slimmer dict than its
+    # periodic checkpoints (/root/reference/src/train.py:428-435)
+    if state.opt_state is not None:
+        pytree["opt_state"] = state.opt_state
     ckptr = ocp.StandardCheckpointer()
     tree_path = os.path.join(path, "tree")
     if os.path.exists(tree_path):

@@ -33,7 +33,7 @@ from ..ops import augment as aug
 from ..ops import losses as losses_lib
 from ..ops import metrics as metrics_lib
 from ..parallel import make_mesh, mesh_from_config, replicated, shard_batch
-from ..utils.async_ckpt import AsyncSaver, snapshot_state
+from ..utils.async_ckpt import AsyncSaver, slim_snapshot, snapshot_state
 from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
 from .state import EarlyStopping, LRScheduler, TrainState, make_optimizer
 
@@ -268,7 +268,7 @@ def train(cfg: Config, resume_from: Optional[str] = None,
     rng = jax.random.PRNGKey(cfg.DATA.SEED)
     n_train = len(train_ds)
     best_path = None
-    saver = AsyncSaver(max_pending=2)
+    saver = AsyncSaver(max_pending=1)
 
     for epoch in range(start_epoch, cfg.TRAIN.EPOCHS):
         state, rng, train_m, dt = run_train_epoch(
@@ -306,7 +306,12 @@ def train(cfg: Config, resume_from: Optional[str] = None,
         # D2H fetch + orbax/.pth/.npz writes overlap the next epoch
         if val_m["loss"] < best_val_loss:
             best_val_loss = val_m["loss"]
-            snap = snapshot_state(state)
+            # slim (no opt_state): best saves fire on every improving
+            # epoch; a full snapshot held on device for the length of the
+            # slow-tunnel D2H OOMed the step alongside a device-cached
+            # corpus (round-3 seg_r4 log). Full-fidelity resume comes
+            # from the periodic checkpoints below.
+            snap = slim_snapshot(state)
             saver.submit(_save_best, cfg, ckpt_dir, snap, dict(meta))
             best_path = os.path.abspath(
                 os.path.join(ckpt_dir, "best_model"))
