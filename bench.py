@@ -75,16 +75,23 @@ def main():
 
     threshold = get_cfg_defaults().PREDICT.THRESHOLD
 
-    def make_chained(model, variables):
+    def make_chained(model, variables, quant_scales=None):
         """Timing step with a dependency chain: the next iteration's input
         is perturbed by a data-dependent scalar, so no two dispatches are
         identical — this environment's device tunnel dedups repeated
         identical dispatches, which fakes microbenchmarks (see
         docs/PERFORMANCE.md 'Measurement validity')."""
 
+        def apply_model(images):
+            if quant_scales:
+                from unet_watermark_tpu.ops.quant import quant_int8
+                with quant_int8(quant_scales):
+                    return model.apply(variables, images, train=False)
+            return model.apply(variables, images, train=False)
+
         @jax.jit
         def forward_chained(images):
-            logits = model.apply(variables, images, train=False)
+            logits = apply_model(images)
             # per-image watermark pixel count — the scalar the repair
             # pipeline branches on (predict.py:690 ratio rule)
             counts = jnp.sum(jax.nn.sigmoid(logits) > threshold,
@@ -104,13 +111,29 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    def sweep(name, gflop_per_img, batches):
+    def sweep(name, gflop_per_img, batches, quant=False):
         cfg = get_cfg_defaults()
         cfg.DATA.IMG_SIZE = 512
         cfg.MODEL.NAME = name
         model = create_model_from_config(cfg)
         variables = init_model(model, 512, seed=0)
-        fwd = make_chained(model, variables)
+        quant_scales = None
+        if quant:
+            # the shipped calibration sidecar (quality-qualified on the
+            # frozen held-out protocol, docs/QUALITY.md int8 rows)
+            from unet_watermark_tpu.ops.quant import load_scales
+            from unet_watermark_tpu.scripts.calibrate_quant import (
+                quant_sidecar_path)
+            from unet_watermark_tpu.utils.shipping import resolve
+
+            wp = resolve("seg", cfg=cfg)
+            sidecar = quant_sidecar_path(wp) if wp else None
+            if not sidecar or not __import__("os").path.exists(sidecar):
+                log(f"{name} int8 tier skipped: no calibration sidecar")
+                return 0.0, batches[0]
+            quant_scales = load_scales(sidecar)
+            name += "-int8"
+        fwd = make_chained(model, variables, quant_scales)
         best_rate, best_batch = 0.0, batches[0]
         for batch in batches:
             x = jnp.asarray(rng.random((batch, 512, 512, 3)), jnp.float32)
@@ -140,7 +163,16 @@ def main():
     # UNet++ 0.7557/0.8609; weights ship for both)
     un_rate, un_batch = sweep("Unet", 54.5, (128,))
     log(f"Unet speed tier: batch {un_batch} at {un_rate:.1f} img/s")
-    img_per_s = max(pp_rate, un_rate)
+    # int8 PTQ tier (ops/quant.py): s8xs8->s32 on the MXU with the shipped
+    # calibration sidecar; quality-qualified on the frozen held-out
+    # protocol (docs/QUALITY.md int8 rows)
+    q_rate, q_batch = sweep("Unet", 54.5, (128,), quant=True)
+    if q_rate:
+        log(f"Unet int8 tier: batch {q_batch} at {q_rate:.1f} img/s")
+    img_per_s, tier = max(
+        (pp_rate, "UNet++/resnet34 quality tier, bf16"),
+        (un_rate, "Unet/resnet34 speed tier, bf16"),
+        (q_rate, "Unet/resnet34 int8-PTQ tier, calibrated sidecar"))
 
     cfg = get_cfg_defaults()
     cfg.DATA.IMG_SIZE = 512
@@ -184,9 +216,8 @@ def main():
         log(f"fused e2e bench skipped: {e}")
 
     print(json.dumps({
-        "metric": "512x512 seg inference throughput (best quality-parity "
-                  "config: Unet/resnet34 speed tier, bf16; "
-                  "UNet++ quality tier benched alongside)",
+        "metric": "512x512 seg inference throughput (best quality-"
+                  f"qualified config: {tier}; all tiers benched alongside)",
         "value": round(img_per_s, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(img_per_s / 5000.0, 4),

@@ -105,7 +105,18 @@ def test_every_shipped_weight_is_resolvable_and_loadable():
 
     for fname in shipped:
         full = os.path.join(wdir, fname)
-        if fname.startswith("seg_"):
+        if fname.endswith(".quant.json"):
+            # int8 PTQ calibration sidecar (ops/quant.py): must sit next
+            # to an existing shipped weight and parse into positive scales
+            from unet_watermark_tpu.ops import quant
+
+            base = fname[:-len(".quant.json")] + ".npz"
+            assert base in shipped, \
+                f"{fname} is a sidecar for a weight that does not ship"
+            scales = quant.load_scales(full)
+            assert scales and all(v > 0 for v in scales.values())
+            covered.add(fname)
+        elif fname.startswith("seg_"):
             from unet_watermark_tpu.configs import get_cfg_defaults
             from unet_watermark_tpu.models import (
                 create_model_from_config, init_model)

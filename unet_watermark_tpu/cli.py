@@ -85,6 +85,8 @@ def repair_command(args) -> int:
     cfg = _load_cfg(args)
     if args.opts:
         cfg.merge_from_list(args.opts)
+    if getattr(args, "quant", False):
+        cfg.PREDICT.QUANT = True
     setup_device(args.device)
 
     from .inference import WatermarkPredictor
@@ -215,6 +217,10 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--save-intermediate", action="store_true", default=True)
     rp.add_argument("--merge-masks", action="store_true", default=True)
     rp.add_argument("--limit", type=int)
+    rp.add_argument("--quant", action="store_true",
+                    help="int8 PTQ segmentation forward (needs the "
+                         "calibrated .quant.json sidecar; see "
+                         "scripts/calibrate_quant.py)")
     rp.add_argument("--no-unet", action="store_true")
     rp.add_argument("--no-ocr", action="store_true")
     rp.add_argument("--ocr-engine", type=str,

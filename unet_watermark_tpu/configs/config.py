@@ -155,6 +155,11 @@ class PredictConfig:
     # trained FFC-LaMa weights for the repair engines; None = auto-resolve
     # (env PREDICT_INPAINT_WEIGHTS, then the shipped models/lama_ffc)
     INPAINT_WEIGHTS: Optional[str] = None
+    # int8 PTQ inference tier (ops/quant.py): convs run s8xs8->s32 on the
+    # MXU using the calibrated <weights>.quant.json sidecar (generate with
+    # scripts/calibrate_quant.py). Falls back to bf16 with a warning when
+    # no sidecar exists for the resolved weights.
+    QUANT: bool = False
 
 
 @dataclass

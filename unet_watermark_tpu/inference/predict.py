@@ -91,12 +91,45 @@ class WatermarkPredictor:
         self.device = device
         self.model = create_model_from_config(self.cfg)
         self.model_info: Dict = {}
+        self._weights_path: Optional[str] = None
         self.variables = self._load_weights(model_path, state)
         self.img_size = self.cfg.DATA.IMG_SIZE
         self._engine_name = inpaint_engine
-        self._forward = jax.jit(
-            lambda imgs: self.model.apply(self.variables, imgs, train=False))
+        self._quant_scales = self._load_quant_scales()
+        self._forward = jax.jit(self._apply_model)
         self._print_model_info()
+
+    def _apply_model(self, imgs):
+        """The segmentation forward — bf16, or int8-PTQ when the config
+        enables PREDICT.QUANT and a calibrated sidecar resolved. Every
+        consumer (batched step-1, fused repair graph) goes through this
+        so the quant tier applies uniformly."""
+        if self._quant_scales:
+            from ..ops.quant import quant_int8
+            with quant_int8(self._quant_scales):
+                return self.model.apply(self.variables, imgs, train=False)
+        return self.model.apply(self.variables, imgs, train=False)
+
+    def _load_quant_scales(self) -> Optional[dict]:
+        if not getattr(self.cfg.PREDICT, "QUANT", False):
+            return None
+        from ..ops.quant import load_scales
+        from ..scripts.calibrate_quant import quant_sidecar_path
+
+        if not self._weights_path:
+            logger.warning("PREDICT.QUANT set but weights are random init — "
+                           "staying bf16")
+            return None
+        sidecar = quant_sidecar_path(self._weights_path)
+        if not os.path.exists(sidecar):
+            logger.warning(
+                "PREDICT.QUANT set but no calibration sidecar at %s — "
+                "staying bf16 (run scripts/calibrate_quant.py)", sidecar)
+            return None
+        scales = load_scales(sidecar)
+        logger.info("int8 inference tier: %d calibrated conv scales (%s)",
+                    len(scales), sidecar)
+        return scales
 
     # ------------------------------------------------------------------
     # weights (predict.py:68-112)
@@ -111,6 +144,7 @@ class WatermarkPredictor:
                 logger.warning("no model weights given — using random init")
                 return variables
             logger.info("using shipped default weights: %s", model_path)
+        self._weights_path = model_path
         if model_path.endswith(".npz"):
             from ..utils.shipping import load_params_npz
             variables = load_params_npz(model_path, variables)
@@ -896,8 +930,7 @@ class WatermarkPredictor:
         from ..ops.inpaint import inpaint_pushpull
         from .engines import resolve_inpaint_weights
 
-        model = self.model
-        variables = self.variables
+        apply_model = self._apply_model  # honors the int8 PREDICT.QUANT tier
         threshold = self.cfg.PREDICT.THRESHOLD
 
         lama_apply = None
@@ -922,7 +955,7 @@ class WatermarkPredictor:
         @jax.jit
         def fused(images_01):
             norm = (images_01 - IMAGENET_MEAN) / IMAGENET_STD
-            logits = model.apply(variables, norm, train=False)
+            logits = apply_model(norm)
             probs = jax.nn.sigmoid(logits[..., 0])
             masks = (probs > threshold).astype(jnp.float32)
             opt = jax.vmap(maskproc.optimize_watermark_mask)(masks)

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.quant import QConv
+
 Dtype = Any
 
 
@@ -38,22 +40,22 @@ class ResNetBasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        y = nn.Conv(self.channels, (3, 3), strides=(self.strides, self.strides),
-                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
+        y = QConv(self.channels, (3, 3), strides=(self.strides, self.strides),
+                  padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                  name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.channels, (3, 3), strides=(1, 1),
-                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
-                    name="conv2")(y)
+        y = QConv(self.channels, (3, 3), strides=(1, 1),
+                  padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                  name="conv2")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
         if self.downsample:
-            identity = nn.Conv(self.channels, (1, 1),
-                               strides=(self.strides, self.strides),
-                               use_bias=False, dtype=self.dtype,
-                               name="downsample_conv")(x)
+            identity = QConv(self.channels, (1, 1),
+                             strides=(self.strides, self.strides),
+                             dtype=self.dtype,
+                             name="downsample_conv")(x)
             identity = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                     epsilon=1e-5, dtype=self.dtype,
                                     name="downsample_bn")(identity)
@@ -73,26 +75,26 @@ class ResNetBottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         identity = x
         out_ch = self.channels * self.expansion
-        y = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
+        y = QConv(self.channels, (1, 1), dtype=self.dtype,
+                  name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.channels, (3, 3), strides=(self.strides, self.strides),
-                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
-                    name="conv2")(y)
+        y = QConv(self.channels, (3, 3), strides=(self.strides, self.strides),
+                  padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                  name="conv2")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv3")(y)
+        y = QConv(out_ch, (1, 1), dtype=self.dtype,
+                  name="conv3")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn3")(y)
         if self.downsample:
-            identity = nn.Conv(out_ch, (1, 1),
-                               strides=(self.strides, self.strides),
-                               use_bias=False, dtype=self.dtype,
-                               name="downsample_conv")(x)
+            identity = QConv(out_ch, (1, 1),
+                             strides=(self.strides, self.strides),
+                             dtype=self.dtype,
+                             name="downsample_conv")(x)
             identity = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                     epsilon=1e-5, dtype=self.dtype,
                                     name="downsample_bn")(identity)
@@ -129,8 +131,8 @@ class ResNetEncoder(nn.Module):
         block_cls, layers = _RESNET_SPECS[self.variant]
         feats: List[jax.Array] = [x]
 
-        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="conv1")(x.astype(self.dtype))
+        y = QConv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                  dtype=self.dtype, name="conv1")(x.astype(self.dtype))
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)

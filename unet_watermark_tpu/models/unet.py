@@ -55,16 +55,18 @@ def fuse_up_kernel(w3: jax.Array) -> jax.Array:
     return k
 
 
-def up_conv(x_low: jax.Array, w3: jax.Array) -> jax.Array:
+def up_conv(x_low: jax.Array, w3: jax.Array, path: str = "") -> jax.Array:
     """conv3x3(nearest_up2x(x_low), w3, SAME) as one lhs-dilated conv."""
+    from ..ops.quant import conv2d_maybe_quant
+
     k = fuse_up_kernel(w3)
-    return jax.lax.conv_general_dilated(
-        x_low, k, (1, 1), [(2, 2), (2, 2)], lhs_dilation=(2, 2),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return conv2d_maybe_quant(
+        x_low, k, strides=(1, 1), padding=[(2, 2), (2, 2)],
+        lhs_dilation=(2, 2), path=path)
 
 
 def smart_conv3x3(x: jax.Array, w3: jax.Array,
-                  lowering: str = "auto") -> jax.Array:
+                  lowering: str = "auto", path: str = "") -> jax.Array:
     """Stride-1 SAME 3x3 conv with a selectable lowering.
 
     "auto" resolves to the direct conv: the phase-space (s2d) lowering
@@ -80,13 +82,13 @@ def smart_conv3x3(x: jax.Array, w3: jax.Array,
     lowering = s2d_conv.LOWERING_OVERRIDE or lowering
     if lowering == "s2d":
         return s2d_conv.s2d_conv3x3(x, w3)
-    return jax.lax.conv_general_dilated(
-        x, w3, (1, 1), [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    from ..ops.quant import conv2d_maybe_quant
+    return conv2d_maybe_quant(
+        x, w3, strides=(1, 1), padding=[(1, 1), (1, 1)], path=path)
 
 
 def smart_up_conv(x_low: jax.Array, w3: jax.Array,
-                  lowering: str = "auto") -> jax.Array:
+                  lowering: str = "auto", path: str = "") -> jax.Array:
     """conv3x3(nearest_up2x(x), SAME); lowering as in smart_conv3x3
     ("auto" = lhs-dilated direct, "s2d" = explicit phase-space)."""
     from ..ops import s2d_conv
@@ -94,7 +96,7 @@ def smart_up_conv(x_low: jax.Array, w3: jax.Array,
     lowering = s2d_conv.LOWERING_OVERRIDE or lowering
     if lowering == "s2d":
         return s2d_conv.s2d_upconv3x3(x_low, fuse_up_kernel(w3))
-    return up_conv(x_low, w3)
+    return up_conv(x_low, w3, path=path)
 
 
 class SplitUpConcatConv(nn.Module):
@@ -124,10 +126,16 @@ class SplitUpConcatConv(nn.Module):
             wx, ws = kernel[:, :, :cin], kernel[:, :, cin:]
         else:
             ws, wx = kernel[:, :, :cs], kernel[:, :, cs:]
-        y = smart_up_conv(x_low.astype(self.dtype), wx, self.lowering)
+        # the up and skip operands have separate activation statistics, so
+        # each gets its own calibrated scale (":up" / ":skip" suffixes)
+        from ..ops.quant import module_path
+        p = module_path(self)
+        y = smart_up_conv(x_low.astype(self.dtype), wx, self.lowering,
+                          path=p + ":up" if p else "")
         if cs:
             y = y + smart_conv3x3(skip_cat.astype(self.dtype), ws,
-                                  self.lowering)
+                                  self.lowering,
+                                  path=p + ":skip" if p else "")
         return y
 
 
@@ -165,7 +173,9 @@ class SmartConv(nn.Module):
             "kernel", nn.initializers.lecun_normal(),
             (3, 3, x.shape[-1], self.channels),
             jnp.float32).astype(self.dtype)
-        return smart_conv3x3(x.astype(self.dtype), kernel, self.lowering)
+        from ..ops.quant import module_path
+        return smart_conv3x3(x.astype(self.dtype), kernel, self.lowering,
+                             path=module_path(self))
 
 
 class ConvBnRelu(nn.Module):

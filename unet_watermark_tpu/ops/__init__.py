@@ -1,4 +1,4 @@
-from . import augment, components, inpaint, losses, metrics, morphology
+from . import augment, components, inpaint, losses, metrics, morphology, quant
 
 __all__ = ["augment", "components", "inpaint", "losses", "metrics",
-           "morphology"]
+           "morphology", "quant"]

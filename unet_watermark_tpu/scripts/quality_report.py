@@ -133,8 +133,12 @@ def eval_segmentation(root: str, limit: int, batch: int = 8,
                       weights: Optional[str] = None,
                       model_name: Optional[str] = None,
                       encoder: Optional[str] = None,
-                      img_size: int = IMG_SIZE) -> Dict:
-    """Raw-network and pipeline mask quality for one seg checkpoint."""
+                      img_size: int = IMG_SIZE,
+                      quant: bool = False) -> Dict:
+    """Raw-network and pipeline mask quality for one seg checkpoint.
+    With quant=True the forward runs the int8 PTQ tier (ops/quant.py)
+    using the checkpoint's calibrated .quant.json sidecar — the quality
+    qualification for the bench's int8 numbers."""
     import jax
     import jax.numpy as jnp
 
@@ -158,10 +162,27 @@ def eval_segmentation(root: str, limit: int, batch: int = 8,
     variables = load_variables(path, variables)
     thr = cfg.PREDICT.THRESHOLD
 
+    quant_scales = None
+    if quant:
+        from ..ops import quant as quant_ops
+        from .calibrate_quant import quant_sidecar_path
+
+        sidecar = quant_sidecar_path(path)
+        if not os.path.exists(sidecar):
+            return {"error": f"no calibration sidecar at {sidecar}"}
+        quant_scales = quant_ops.load_scales(sidecar)
+
+    def apply_model(norm):
+        if quant_scales:
+            from ..ops.quant import quant_int8
+            with quant_int8(quant_scales):
+                return model.apply(variables, norm, train=False)
+        return model.apply(variables, norm, train=False)
+
     @jax.jit
     def fwd(x01):
         norm = (x01 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-        logits = model.apply(variables, norm, train=False)
+        logits = apply_model(norm)
         probs = jax.nn.sigmoid(logits[..., 0])
         return (probs > thr).astype(jnp.float32)
 
@@ -207,6 +228,7 @@ def eval_segmentation(root: str, limit: int, batch: int = 8,
 
     return {"weights": path, "model": cfg.MODEL.NAME,
             "encoder": cfg.MODEL.ENCODER_NAME, "n_images": n,
+            "quant": bool(quant_scales),
             "raw": stats(tp, fp, fn), "pipeline": stats(tp_o, fp_o, fn_o)}
 
 
@@ -293,6 +315,10 @@ def build_report(workdir: str, limit: int = 64,
     seg_configs = seg_configs or [
         {"model_name": "UnetPlusPlus", "encoder": "resnet34"},
         {"model_name": "Unet", "encoder": "resnet34"},
+        # int8 PTQ tiers ride along automatically when a calibrated
+        # sidecar ships next to the weights (scripts/calibrate_quant.py)
+        {"model_name": "UnetPlusPlus", "encoder": "resnet34", "quant": True},
+        {"model_name": "Unet", "encoder": "resnet34", "quant": True},
     ]
     report: Dict = {
         "protocol": {"clean_seed": CLEAN_SEED, "compose_seed": COMPOSE_SEED,
@@ -301,11 +327,17 @@ def build_report(workdir: str, limit: int = 64,
     }
     for sc in seg_configs:
         key = f"{sc['model_name'].lower()}_{sc['encoder']}"
+        if sc.get("quant"):
+            key += "_int8"
         logger.info("seg eval: %s", key)
-        report["segmentation"][key] = eval_segmentation(
+        res = eval_segmentation(
             root, limit, weights=sc.get("weights"),
             model_name=sc["model_name"], encoder=sc["encoder"],
-            img_size=img_size)
+            img_size=img_size, quant=sc.get("quant", False))
+        if sc.get("quant") and "error" in res:
+            logger.info("skipping %s: %s", key, res["error"])
+            continue
+        report["segmentation"][key] = res
     logger.info("inpaint engine eval")
     from ..utils.shipping import resolve
     engines = ["pushpull", "lama"]
