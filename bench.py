@@ -159,8 +159,8 @@ def main():
     log(f"UnetPlusPlus best: batch {pp_batch} at {pp_rate:.1f} img/s "
         f"[fused decoder: upsample+concat folded into lhs-dilated convs]")
     # speed tier: plain UNet — qualified at quality parity on the frozen
-    # held-out protocol (docs/QUALITY.md: val IoU 0.7563/F1 0.8613 vs the
-    # UNet++ 0.7557/0.8609; weights ship for both)
+    # held-out protocol (docs/QUALITY.md: raw IoU 0.843/F1 0.914 vs the
+    # UNet++ 0.833/0.909; weights ship for both)
     un_rate, un_batch = sweep("Unet", 54.5, (128,))
     log(f"Unet speed tier: batch {un_batch} at {un_rate:.1f} img/s")
     # int8 PTQ tier (ops/quant.py): s8xs8->s32 on the MXU with the shipped
