@@ -43,6 +43,11 @@ from jax import lax
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
+# Smallest recordable activation amax — matches the quantize_activation
+# floor. Calibration never emits a non-positive scale (the shipping gate
+# asserts every sidecar scale > 0, tests/test_shipping.py).
+MIN_AMAX = 1e-12
+
 
 @dataclasses.dataclass
 class QuantMode:
@@ -103,7 +108,7 @@ def quantize_weight(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 def quantize_activation(x: jax.Array, amax: float) -> Tuple[jax.Array, float]:
     """Symmetric per-tensor int8 with a calibrated amax."""
-    sx = max(float(amax), 1e-12) / 127.0
+    sx = max(float(amax), MIN_AMAX) / 127.0
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / sx)),
                   -127.0, 127.0).astype(jnp.int8)
     return xq, sx
@@ -132,7 +137,14 @@ def conv2d_maybe_quant(x: jax.Array, w: jax.Array, *,
         else:
             amax = float(jnp.quantile(
                 ax.ravel().astype(jnp.float32), mode.quantile))
-        mode.scales[path] = max(mode.scales.get(path, 0.0), amax)
+        # Floor at the runtime's own amax floor (quantize_activation):
+        # a conv operand that is identically zero on the calibration set
+        # (UNet++ trains some intermediate dense-skip nodes structurally
+        # dead — post-BN+ReLU output 0 under inference batch_stats) must
+        # still record a positive scale so the sidecar stays uniformly
+        # loadable; quantizing a dead operand with a tiny scale yields
+        # the same all-zero output as the float conv.
+        mode.scales[path] = max(mode.scales.get(path, 0.0), amax, MIN_AMAX)
         return lax.conv_general_dilated(
             x, w, tuple(strides), padding, lhs_dilation=lhs_dilation,
             dimension_numbers=_DN)
