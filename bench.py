@@ -76,11 +76,11 @@ def main():
     threshold = get_cfg_defaults().PREDICT.THRESHOLD
 
     def make_chained(model, variables, quant_scales=None):
-        """Timing step with a dependency chain: the next iteration's input
-        is perturbed by a data-dependent scalar, so no two dispatches are
-        identical — this environment's device tunnel dedups repeated
-        identical dispatches, which fakes microbenchmarks (see
-        docs/PERFORMANCE.md 'Measurement validity')."""
+        """Chained timing step — the shared measurement-validity harness
+        (utils/benchmarking.py; docs/PERFORMANCE.md 'Measurement
+        validity')."""
+        from unet_watermark_tpu.utils.benchmarking import (
+            make_chained_forward)
 
         def apply_model(images):
             if quant_scales:
@@ -89,25 +89,7 @@ def main():
                     return model.apply(variables, images, train=False)
             return model.apply(variables, images, train=False)
 
-        @jax.jit
-        def forward_chained(images):
-            logits = apply_model(images)
-            # per-image watermark pixel count — the scalar the repair
-            # pipeline branches on (predict.py:690 ratio rule)
-            counts = jnp.sum(jax.nn.sigmoid(logits) > threshold,
-                             axis=(1, 2, 3))
-            # the perturbation must flip bits even after the model's bf16
-            # cast (bf16 eps = 2^-8), else the dispatch content is
-            # identical and the tunnel dedups it. Mod a bounded quantity —
-            # the mean mask ratio in [0,1] — not the raw pixel count
-            # (~1e5-1e7, where float32 ulp exceeds the 0.003 modulus);
-            # bounded drift: (1.004)^20 ≈ 8% over the run.
-            ratio = jnp.sum(counts).astype(jnp.float32) / (
-                images.shape[0] * images.shape[1] * images.shape[2])
-            scale = 1.0 + ratio % 0.003 + 0.004
-            return images * scale, counts
-
-        return forward_chained
+        return make_chained_forward(apply_model, threshold)
 
     rng = np.random.default_rng(0)
 
@@ -195,9 +177,10 @@ def main():
             # chain dispatches (tunnel dedups identical repeats — see
             # forward_chained above)
             out = fused(images)
-            # mean is already in [0,1] so the fmod is well-conditioned
+            # mean is already in [0,1] so the fmod is well-conditioned;
+            # zero-mean so chained inputs don't drift (ADVICE.md round 3)
             scale = (1.0 + (jnp.mean(out).astype(jnp.float32) % 0.003)
-                     + 0.004)
+                     - 0.0015)
             return images * scale, out
 
         xb = x[:16] / 1.0

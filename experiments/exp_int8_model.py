@@ -42,36 +42,25 @@ def bench(name, gflop, batch=128):
         model.apply(v, x_small, train=False)
     print(f"{name}: observed {len(store)} conv paths", flush=True)
 
+    from unet_watermark_tpu.utils.benchmarking import (
+        make_chained_forward, time_chained)
+
     def make(quantized):
-        def fwd(images):
+        def apply_model(images):
             if quantized:
                 with quant.quant_int8(store):
-                    logits = model.apply(v, images, train=False)
-            else:
-                logits = model.apply(v, images, train=False)
-            counts = jnp.sum(jax.nn.sigmoid(logits) > 0.5, axis=(1, 2, 3))
-            ratio = jnp.sum(counts).astype(jnp.float32) / (
-                images.shape[0] * images.shape[1] * images.shape[2])
-            scale = 1.0 + ratio % 0.003 + 0.004
-            return images * scale, counts
-        return jax.jit(fwd)
+                    return model.apply(v, images, train=False)
+            return model.apply(v, images, train=False)
+        return make_chained_forward(apply_model)
 
     for tag, quantized in (("bf16", False), ("int8", True)):
         fwd = make(quantized)
         x = jnp.asarray(rng.random((batch, 512, 512, 3)), jnp.float32)
-        t0 = time.time()
-        x, _ = fwd(x)
-        jax.block_until_ready(x)
-        print(f"{name} {tag} compile {time.time() - t0:.0f}s", flush=True)
-        iters = 20
-        t0 = time.time()
-        for _ in range(iters):
-            x, out = fwd(x)
-        jax.block_until_ready((x, out))
-        dt = time.time() - t0
-        rate = batch * iters / dt
+        compile_s, per_iter = time_chained(fwd, x, iters=20)
+        rate = batch / per_iter
+        print(f"{name} {tag} compile {compile_s:.0f}s", flush=True)
         print(f"{name} {tag} b{batch}: {rate:.1f} img/s "
-              f"({dt / iters * 1e3:.1f} ms)  "
+              f"({per_iter * 1e3:.1f} ms)  "
               f"nominal-MFU {rate * gflop / 1e3 / 197:.1%}", flush=True)
 
 
