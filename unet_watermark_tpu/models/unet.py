@@ -76,12 +76,22 @@ def smart_conv3x3(x: jax.Array, w3: jax.Array,
     (workspace/exp_ab_s2d.py). The transform's pad+transpose data
     movement and runtime weight expansion cost more than the MXU
     lane-padding they avoid. "s2d" stays as an explicit opt-in
-    (exact, tested in tests/test_s2d_conv.py)."""
-    from ..ops import s2d_conv
+    (exact, tested in tests/test_s2d_conv.py).
 
-    lowering = s2d_conv.LOWERING_OVERRIDE or lowering
+    "bt" = block-Toeplitz lane packing (ops/bt_conv.py) on the
+    lane-starved thin-channel tail (exact; routing per choose_pack);
+    also taken by "auto" when bt_conv.AUTO_ENABLED is set from the
+    on-chip A/B."""
+    from ..ops import bt_conv, s2d_conv
+
+    lowering = (bt_conv.LOWERING_OVERRIDE or s2d_conv.LOWERING_OVERRIDE
+                or lowering)
     if lowering == "s2d":
         return s2d_conv.s2d_conv3x3(x, w3)
+    if lowering == "bt" or (lowering == "auto" and bt_conv.AUTO_ENABLED):
+        pack = bt_conv.choose_pack(w3.shape[-1], x.shape[2])
+        if pack:
+            return bt_conv.bt_conv3x3(x, w3, pack, path=path)
     from ..ops.quant import conv2d_maybe_quant
     return conv2d_maybe_quant(
         x, w3, strides=(1, 1), padding=[(1, 1), (1, 1)], path=path)
@@ -90,12 +100,19 @@ def smart_conv3x3(x: jax.Array, w3: jax.Array,
 def smart_up_conv(x_low: jax.Array, w3: jax.Array,
                   lowering: str = "auto", path: str = "") -> jax.Array:
     """conv3x3(nearest_up2x(x), SAME); lowering as in smart_conv3x3
-    ("auto" = lhs-dilated direct, "s2d" = explicit phase-space)."""
-    from ..ops import s2d_conv
+    ("auto" = lhs-dilated direct, "s2d" = explicit phase-space,
+    "bt" = lane-packed on the dilated grid)."""
+    from ..ops import bt_conv, s2d_conv
 
-    lowering = s2d_conv.LOWERING_OVERRIDE or lowering
+    lowering = (bt_conv.LOWERING_OVERRIDE or s2d_conv.LOWERING_OVERRIDE
+                or lowering)
     if lowering == "s2d":
         return s2d_conv.s2d_upconv3x3(x_low, fuse_up_kernel(w3))
+    if lowering == "bt" or (lowering == "auto" and bt_conv.AUTO_ENABLED):
+        pack = bt_conv.choose_pack(w3.shape[-1], 2 * x_low.shape[2])
+        if pack:
+            return bt_conv.bt_upconv(x_low, fuse_up_kernel(w3), pack,
+                                     path=path)
     return up_conv(x_low, w3, path=path)
 
 
