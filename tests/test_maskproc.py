@@ -157,3 +157,74 @@ def test_optimize_mask_batch_partitioned_matches_single():
         single = np.asarray(
             maskproc.optimize_mask(jnp.asarray(masks[i]), names[c]))
         np.testing.assert_array_equal(part[i], single)
+
+
+# ---------------------------------------------------------------------------
+# tight mode (PREDICT.MASK_MODE="tight", round 4)
+# ---------------------------------------------------------------------------
+
+def cv2_optimize_watermark_tight(mask_u8):
+    from unet_watermark_tpu.scripts.quality_report import (
+        _cv2_optimize_watermark_mask_tight)
+
+    return _cv2_optimize_watermark_mask_tight(
+        mask_u8.astype(np.float32) / 255) * 255
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_tight_strategy_matches_cv2(seed):
+    mask = _blobby_mask(np.random.default_rng(seed + 20))
+    ref = cv2_optimize_watermark_tight(mask)
+    ours = np.asarray(maskproc.optimize_watermark_mask_tight(
+        jnp.asarray(mask.astype(np.float32) / 255)))
+    mismatch = np.mean((ours > 0.5) != (ref > 127))
+    assert mismatch < 0.01, mismatch  # Gaussian edge rounding only
+
+
+def test_tight_mode_preserves_multiple_components():
+    """Two well-separated large marks: the parity chain keeps only the
+    largest; tight mode must keep both."""
+    mask = np.zeros((128, 128), np.float32)
+    mask[10:40, 10:40] = 1.0     # 900 px
+    mask[80:120, 80:124] = 1.0   # 1760 px (largest)
+    parity = np.asarray(maskproc.optimize_watermark_mask(jnp.asarray(mask)))
+    tight = np.asarray(maskproc.optimize_watermark_mask_tight(
+        jnp.asarray(mask)))
+    assert parity[20, 20] == 0.0      # parity drops the secondary mark
+    assert tight[20, 20] == 1.0       # tight keeps it
+    assert tight[100, 100] == 1.0
+    # tight's margin is small: total area under 2x the true marks, while
+    # parity covers more than that around ONE mark alone
+    assert tight.sum() < 2.0 * mask.sum()
+    assert parity.sum() > tight.sum()
+
+
+def test_optimize_mask_mode_dispatch():
+    mask = _blobby_mask(np.random.default_rng(7)).astype(np.float32) / 255
+    f = jnp.asarray(mask)
+    parity = np.asarray(maskproc.optimize_mask(f, "watermark"))
+    tight = np.asarray(maskproc.optimize_mask(f, "watermark", mode="tight"))
+    np.testing.assert_array_equal(
+        parity, np.asarray(maskproc.optimize_watermark_mask(
+            jnp.asarray((mask > 0.5).astype(np.float32)))))
+    np.testing.assert_array_equal(
+        tight, np.asarray(maskproc.optimize_watermark_mask_tight(
+            jnp.asarray((mask > 0.5).astype(np.float32)))))
+    # text/mixed are mode-independent
+    np.testing.assert_array_equal(
+        np.asarray(maskproc.optimize_mask(f, "text", mode="tight")),
+        np.asarray(maskproc.optimize_mask(f, "text")))
+
+
+def test_batch_partitioned_tight_mode():
+    rng = np.random.default_rng(3)
+    masks = np.stack([_blobby_mask(rng).astype(np.float32) / 255
+                      for _ in range(3)])
+    codes = [0, 1, 0]
+    out_p = maskproc.optimize_mask_batch_partitioned(masks, codes)
+    out_t = maskproc.optimize_mask_batch_partitioned(masks, codes,
+                                                     mode="tight")
+    # text stays identical, watermark entries differ (tighter)
+    np.testing.assert_array_equal(out_p[1], out_t[1])
+    assert out_t[0].sum() <= out_p[0].sum()
+    assert out_t[2].sum() <= out_p[2].sum()

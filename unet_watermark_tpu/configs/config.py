@@ -98,6 +98,11 @@ class TrainConfig:
     # TPU-specific knobs:
     DONATE_STATE: bool = True        # donate train state buffers under jit
     STEPS_PER_EXEC: int = 1          # lax.scan over this many steps per dispatch
+    # whole-epoch lax.scan when the corpus is device-resident: one
+    # dispatch + one scalar sync per epoch instead of one per batch
+    # (training/train.make_train_epoch_scan). Disabled automatically when
+    # LOG_INTERVAL-style per-batch logging is requested.
+    EPOCH_SCAN: bool = True
 
 
 @dataclass
@@ -160,6 +165,12 @@ class PredictConfig:
     # scripts/calibrate_quant.py). Falls back to bf16 with a warning when
     # no sidecar exists for the resolved weights.
     QUANT: bool = False
+    # mask-optimization mode: "parity" = the reference's cv2 chain
+    # (/root/reference/src/predict.py:231-272, over-covering by design),
+    # "tight" = precision-preserving chain that keeps multi-component
+    # marks (inference/maskproc.optimize_watermark_mask_tight; measured
+    # on the frozen protocol in docs/QUALITY.md)
+    MASK_MODE: str = "parity"
 
 
 @dataclass

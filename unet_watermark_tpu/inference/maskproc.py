@@ -57,13 +57,40 @@ def optimize_mixed_mask(mask: Array) -> Array:
     return cc.filter_components_by_area(x, min_area=100)
 
 
-def optimize_mask(mask: Array, mask_type: str = "watermark") -> Array:
-    """Dispatch like predict.py:161-186. mask: (H,W) float {0,1}."""
+def optimize_watermark_mask_tight(mask: Array) -> Array:
+    """PREDICT.MASK_MODE="tight" (round 4): precision-preserving
+    alternative to the cv2-parity chain above.
+
+    The parity chain intentionally over-covers (close(11)x2 + dilate(9)x2
+    drops precision to ~0.36) and its largest-component rule discards
+    secondary marks on ~35% of multi-watermark protocol images
+    (docs/QUALITY.md). Tight mode keeps ALL components above a small
+    area floor and trims the margin to one 3px dilation: open(3) →
+    close(5) → dilate(3) → area>64 → Gaussian re-threshold. Measured on
+    the frozen protocol (docs/QUALITY.md tight rows). Parity mode stays
+    the default and is byte-identical to the reference chain."""
+    x = m.morph_open(mask, m.ellipse_kernel(3, 3), 1)
+    x = m.morph_close(x, m.ellipse_kernel(5, 5), 1)
+    x = m.dilate(x, m.ellipse_kernel(3, 3), 1)
+    x = cc.filter_components_by_area(x, min_area=64)
+    x = m.gaussian_blur(x, (3, 3), 0.5)
+    return m.threshold_binary(x, 0.5)
+
+
+def optimize_mask(mask: Array, mask_type: str = "watermark",
+                  mode: str = "parity") -> Array:
+    """Dispatch like predict.py:161-186. mask: (H,W) float {0,1}.
+
+    mode="tight" swaps the watermark strategy for the
+    precision-preserving chain; text/mixed strategies already keep all
+    components and use small dilations, so they are shared."""
     mask = m.threshold_binary(mask, 0.5)
     if mask_type == "text":
         return optimize_text_mask(mask)
     if mask_type == "mixed":
         return optimize_mixed_mask(mask)
+    if mode == "tight":
+        return optimize_watermark_mask_tight(mask)
     return optimize_watermark_mask(mask)
 
 
@@ -139,9 +166,14 @@ _BATCH_STRATEGY = {
     2: jax.jit(jax.vmap(lambda mk: optimize_mixed_mask(
         m.threshold_binary(mk, 0.5)))),
 }
+# tight mode swaps only the watermark strategy (code 0)
+_BATCH_STRATEGY_TIGHT = dict(_BATCH_STRATEGY)
+_BATCH_STRATEGY_TIGHT[0] = jax.jit(jax.vmap(
+    lambda mk: optimize_watermark_mask_tight(m.threshold_binary(mk, 0.5))))
 
 
-def optimize_mask_batch_partitioned(masks, codes) -> "np.ndarray":
+def optimize_mask_batch_partitioned(masks, codes,
+                                    mode: str = "parity") -> "np.ndarray":
     """One strategy per image: partition the batch by (host-known) type
     code and run each strategy once on its padded slice.
 
@@ -159,6 +191,7 @@ def optimize_mask_batch_partitioned(masks, codes) -> "np.ndarray":
 
     masks = np.asarray(masks, np.float32)
     out = np.empty_like(masks)
+    strategies = _BATCH_STRATEGY_TIGHT if mode == "tight" else _BATCH_STRATEGY
     by_type: dict = {}
     for i, c in enumerate(codes):
         by_type.setdefault(int(c), []).append(i)
@@ -167,7 +200,7 @@ def optimize_mask_batch_partitioned(masks, codes) -> "np.ndarray":
         padded_n = 1 << (n - 1).bit_length()
         sub = np.zeros((padded_n,) + masks.shape[1:], np.float32)
         sub[:n] = masks[idx]
-        res = np.asarray(_BATCH_STRATEGY[c](jnp.asarray(sub)))
+        res = np.asarray(strategies[c](jnp.asarray(sub)))
         out[idx] = res[:n]
     return out
 

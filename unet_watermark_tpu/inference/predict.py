@@ -276,7 +276,8 @@ class WatermarkPredictor:
             return (mask_bin * 255).astype(np.uint8)
         # optimize on device at the original (padded) resolution
         padded, (h, w) = pad_to_multiple(mask_bin, 32)
-        opt = maskproc.optimize_mask(jnp.asarray(padded), mask_type)
+        opt = maskproc.optimize_mask(jnp.asarray(padded), mask_type,
+                                     mode=self.cfg.PREDICT.MASK_MODE)
         if self.cfg.PREDICT.EDGE_REFINEMENT:
             # soften + re-threshold against the prob map so edges follow
             # the network's confidence rather than morphology artifacts
@@ -407,7 +408,8 @@ class WatermarkPredictor:
                     jnp.asarray(masks_bin[j])))
                 types.append(maskproc.classify_type(score))
             codes = [maskproc.type_code(t) for t in types]
-            opt = maskproc.optimize_mask_batch_partitioned(masks_bin, codes)
+            opt = maskproc.optimize_mask_batch_partitioned(
+                masks_bin, codes, mode=self.cfg.PREDICT.MASK_MODE)
             opt = self._apply_predict_flags_batch(opt, probs)
 
             for j, p in enumerate(ok_paths):
@@ -497,7 +499,8 @@ class WatermarkPredictor:
         mask_type = maskproc.classify_type(score)
 
         padded, (h, w) = pad_to_multiple(mask_bin, 32)
-        opt = maskproc.optimize_mask(jnp.asarray(padded), mask_type)
+        opt = maskproc.optimize_mask(jnp.asarray(padded), mask_type,
+                                     mode=self.cfg.PREDICT.MASK_MODE)
         probs_pad, _ = pad_to_multiple(probs_full.astype(np.float32), 32)
         opt = self._apply_predict_flags_batch(
             np.asarray(opt)[None], probs_pad[None])[0]
@@ -763,8 +766,9 @@ class WatermarkPredictor:
                         out = np.maximum(wm, tm)
                 padded, (h, w) = pad_to_multiple(
                     (out > 127).astype(np.float32), 32)
-                opt = maskproc.optimize_mask(jnp.asarray(padded),
-                                             "watermark")
+                opt = maskproc.optimize_mask(
+                    jnp.asarray(padded), "watermark",
+                    mode=self.cfg.PREDICT.MASK_MODE)
                 out_u8 = (np.asarray(opt)[:h, :w] * 255).astype(np.uint8)
                 merged_path = os.path.join(merged_mask_output_folder,
                                            f"{stem}.png")
@@ -952,13 +956,17 @@ class WatermarkPredictor:
                 logger.warning("fused repair: no trained weights for '%s' "
                                "— using pushpull fill", inpaint_engine)
 
+        optimize = (maskproc.optimize_watermark_mask_tight
+                    if self.cfg.PREDICT.MASK_MODE == "tight"
+                    else maskproc.optimize_watermark_mask)
+
         @jax.jit
         def fused(images_01):
             norm = (images_01 - IMAGENET_MEAN) / IMAGENET_STD
             logits = apply_model(norm)
             probs = jax.nn.sigmoid(logits[..., 0])
             masks = (probs > threshold).astype(jnp.float32)
-            opt = jax.vmap(maskproc.optimize_watermark_mask)(masks)
+            opt = jax.vmap(optimize)(masks)
             if lama_apply is not None:
                 return lama_apply(images_01, opt[..., None])
             return inpaint_pushpull(images_01, opt[..., None],

@@ -39,6 +39,12 @@ logger = logging.getLogger(__name__)
 
 CLEAN_SEED = 7700
 COMPOSE_SEED = 7701
+# textured tier (round 4): natural-image high-frequency statistics
+# (data/synth_clean.synth_textured_image) — the regime where boundary
+# interpolation cannot stand in for learned texture synthesis. Seeds
+# reserved exactly like 7700/7701; no training run uses them.
+TEX_CLEAN_SEED = 7800
+TEX_COMPOSE_SEED = 7801
 IMG_SIZE = 512
 
 
@@ -47,26 +53,31 @@ IMG_SIZE = 512
 # ---------------------------------------------------------------------------
 
 def ensure_frozen_set(workdir: str, n: int = 64,
-                      img_size: int = IMG_SIZE) -> str:
-    """Generate (or reuse) the frozen triad set under <workdir>/heldout:
-    watermarked/ clean/ masks/, n images at 512². Idempotent: the
-    generators' per-index child RNGs make re-runs byte-identical, so an
-    existing complete directory is reused as-is."""
+                      img_size: int = IMG_SIZE,
+                      textured: bool = False) -> str:
+    """Generate (or reuse) the frozen triad set under <workdir>/heldout
+    (or heldout_tex): watermarked/ clean/ masks/, n images at 512².
+    Idempotent: the generators' per-index child RNGs make re-runs
+    byte-identical, so an existing complete directory is reused as-is."""
     from ..data.gen_data import generate_dataset
     from ..data.synth_clean import generate_clean_dataset, generate_logo_set
 
-    root = os.path.join(workdir, "heldout")
+    suffix = "_tex" if textured else ""
+    root = os.path.join(workdir, "heldout" + suffix)
     wm_dir = os.path.join(root, "watermarked")
     if os.path.isdir(wm_dir) and len(os.listdir(wm_dir)) >= n:
         return root
-    clean_src = os.path.join(workdir, "clean_src")
+    clean_src = os.path.join(workdir, "clean_src" + suffix)
     logos = os.path.join(workdir, "logos")
+    cseed = TEX_CLEAN_SEED if textured else CLEAN_SEED
     generate_clean_dataset(clean_src, count=max(16, n // 2),
-                           size=img_size, seed=CLEAN_SEED)
+                           size=img_size, seed=cseed,
+                           texture_ratio=1.0 if textured else 0.0)
     generate_logo_set(logos, count=12, seed=CLEAN_SEED + 1)
-    stats = generate_dataset(clean_src, root, logos_dir=logos, count=n,
-                             seed=COMPOSE_SEED)
-    logger.info("frozen held-out set: %s", stats)
+    stats = generate_dataset(
+        clean_src, root, logos_dir=logos, count=n,
+        seed=TEX_COMPOSE_SEED if textured else COMPOSE_SEED)
+    logger.info("frozen held-out set%s: %s", suffix, stats)
     return root
 
 
@@ -125,6 +136,27 @@ def _cv2_optimize_watermark_mask(mask01: np.ndarray) -> np.ndarray:
         else:
             x = np.isin(labels, [i for i, a in enumerate(areas, 1)
                                  if a > 200]).astype(np.uint8)
+    x = cv2.GaussianBlur(x.astype(np.float32), (3, 3), 0.5)
+    return (x > 0.5).astype(np.uint8)
+
+
+def _cv2_optimize_watermark_mask_tight(mask01: np.ndarray) -> np.ndarray:
+    """Host cv2 mirror of maskproc.optimize_watermark_mask_tight
+    (PREDICT.MASK_MODE="tight"): open(3) → close(5) → dilate(3) →
+    keep components with area > 64 → Gaussian(3, 0.5) + re-threshold.
+    Parity with the device chain is tested in tests/test_maskproc.py."""
+    import cv2
+
+    def k(n):
+        return cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (n, n))
+
+    x = (mask01 > 0.5).astype(np.uint8)
+    x = cv2.morphologyEx(x, cv2.MORPH_OPEN, k(3), iterations=1)
+    x = cv2.morphologyEx(x, cv2.MORPH_CLOSE, k(5), iterations=1)
+    x = cv2.dilate(x, k(3), iterations=1)
+    nl, labels, stats, _ = cv2.connectedComponentsWithStats(x, 8)
+    keep = [i for i in range(1, nl) if stats[i, cv2.CC_STAT_AREA] > 64]
+    x = np.isin(labels, keep).astype(np.uint8)
     x = cv2.GaussianBlur(x.astype(np.float32), (3, 3), 0.5)
     return (x > 0.5).astype(np.uint8)
 
@@ -188,24 +220,30 @@ def eval_segmentation(root: str, limit: int, batch: int = 8,
 
     tp = fp = fn = 0.0
     tp_o = fp_o = fn_o = 0.0
+    tp_t = fp_t = fn_t = 0.0
     buf_img, buf_msk = [], []
 
     def flush():
-        nonlocal tp, fp, fn, tp_o, fp_o, fn_o
+        nonlocal tp, fp, fn, tp_o, fp_o, fn_o, tp_t, fp_t, fn_t
         if not buf_img:
             return
         x = jnp.asarray(np.stack(buf_img), jnp.float32) / 255.0
         raw = np.asarray(fwd(x))
         opt = np.stack([_cv2_optimize_watermark_mask(r) for r in raw])
+        tight = np.stack([_cv2_optimize_watermark_mask_tight(r)
+                          for r in raw])
         gt = np.stack(buf_msk) > 127
-        for pred, acc in ((raw > 0.5, "raw"), (opt > 0.5, "opt")):
+        for pred, acc in ((raw > 0.5, "raw"), (opt > 0.5, "opt"),
+                          (tight > 0.5, "tight")):
             t = float(np.sum(pred & gt))
             f_p = float(np.sum(pred & ~gt))
             f_n = float(np.sum(~pred & gt))
             if acc == "raw":
                 tp, fp, fn = tp + t, fp + f_p, fn + f_n
-            else:
+            elif acc == "opt":
                 tp_o, fp_o, fn_o = tp_o + t, fp_o + f_p, fn_o + f_n
+            else:
+                tp_t, fp_t, fn_t = tp_t + t, fp_t + f_p, fn_t + f_n
         buf_img.clear()
         buf_msk.clear()
 
@@ -229,7 +267,8 @@ def eval_segmentation(root: str, limit: int, batch: int = 8,
     return {"weights": path, "model": cfg.MODEL.NAME,
             "encoder": cfg.MODEL.ENCODER_NAME, "n_images": n,
             "quant": bool(quant_scales),
-            "raw": stats(tp, fp, fn), "pipeline": stats(tp_o, fp_o, fn_o)}
+            "raw": stats(tp, fp, fn), "pipeline": stats(tp_o, fp_o, fn_o),
+            "pipeline_tight": stats(tp_t, fp_t, fn_t)}
 
 
 # ---------------------------------------------------------------------------
@@ -237,15 +276,18 @@ def eval_segmentation(root: str, limit: int, batch: int = 8,
 # ---------------------------------------------------------------------------
 
 def eval_inpaint_engines(workdir: str, limit: int,
-                         engines: List[str]) -> Dict:
+                         engines: List[str],
+                         textured: bool = False) -> Dict:
     """Hole-quality per engine on the frozen clean images (the
     inpaint_quality protocol, pinned to this report's frozen corpus)."""
     from .inpaint_quality import evaluate_engines
 
-    clean_src = os.path.join(workdir, "clean_src")
-    return evaluate_engines(clean_src, engines, img_size=256,
-                            batch_size=8, limit=min(limit, 32),
-                            seed=CLEAN_SEED)
+    clean_src = os.path.join(workdir,
+                             "clean_src_tex" if textured else "clean_src")
+    return evaluate_engines(
+        clean_src, engines, img_size=256, batch_size=8,
+        limit=min(limit, 32),
+        seed=TEX_CLEAN_SEED if textured else CLEAN_SEED)
 
 
 def eval_e2e_repair(root: str, limit: int, batch: int = 16,
@@ -310,8 +352,8 @@ def _mean_psnr(a: np.ndarray, b: np.ndarray,
 
 def build_report(workdir: str, limit: int = 64,
                  seg_configs: Optional[List[Dict]] = None,
-                 img_size: int = IMG_SIZE) -> Dict:
-    root = ensure_frozen_set(workdir, n=limit, img_size=img_size)
+                 img_size: int = IMG_SIZE,
+                 tiers: Optional[List[str]] = None) -> Dict:
     seg_configs = seg_configs or [
         {"model_name": "UnetPlusPlus", "encoder": "resnet34"},
         {"model_name": "Unet", "encoder": "resnet34"},
@@ -320,70 +362,90 @@ def build_report(workdir: str, limit: int = 64,
         {"model_name": "UnetPlusPlus", "encoder": "resnet34", "quant": True},
         {"model_name": "Unet", "encoder": "resnet34", "quant": True},
     ]
+    tiers = tiers or ["smooth", "textured"]
     report: Dict = {
         "protocol": {"clean_seed": CLEAN_SEED, "compose_seed": COMPOSE_SEED,
-                     "img_size": img_size, "n_images": limit},
-        "segmentation": {},
+                     "tex_clean_seed": TEX_CLEAN_SEED,
+                     "tex_compose_seed": TEX_COMPOSE_SEED,
+                     "img_size": img_size, "n_images": limit,
+                     "tiers": tiers},
     }
-    for sc in seg_configs:
-        key = f"{sc['model_name'].lower()}_{sc['encoder']}"
-        if sc.get("quant"):
-            key += "_int8"
-        logger.info("seg eval: %s", key)
-        res = eval_segmentation(
-            root, limit, weights=sc.get("weights"),
-            model_name=sc["model_name"], encoder=sc["encoder"],
-            img_size=img_size, quant=sc.get("quant", False))
-        if sc.get("quant") and "error" in res:
-            logger.info("skipping %s: %s", key, res["error"])
-            continue
-        report["segmentation"][key] = res
-    logger.info("inpaint engine eval")
     from ..utils.shipping import resolve
     engines = ["pushpull", "lama"]
     if resolve("diffusion"):
         engines.append("diffusion")
-    report["inpaint"] = eval_inpaint_engines(workdir, limit, engines)
-    logger.info("e2e repair eval")
-    report["e2e_repair"] = eval_e2e_repair(root, limit, img_size=img_size)
+    for tier in tiers:
+        textured = tier == "textured"
+        root = ensure_frozen_set(workdir, n=limit, img_size=img_size,
+                                 textured=textured)
+        tr: Dict = {"segmentation": {}}
+        # int8 rows only on the primary (smooth) tier — the PTQ
+        # qualification; the textured tier's question is engine ranking
+        configs = seg_configs if not textured else [
+            sc for sc in seg_configs if not sc.get("quant")]
+        for sc in configs:
+            key = f"{sc['model_name'].lower()}_{sc['encoder']}"
+            if sc.get("quant"):
+                key += "_int8"
+            logger.info("[%s] seg eval: %s", tier, key)
+            res = eval_segmentation(
+                root, limit, weights=sc.get("weights"),
+                model_name=sc["model_name"], encoder=sc["encoder"],
+                img_size=img_size, quant=sc.get("quant", False))
+            if sc.get("quant") and "error" in res:
+                logger.info("skipping %s: %s", key, res["error"])
+                continue
+            tr["segmentation"][key] = res
+        logger.info("[%s] inpaint engine eval", tier)
+        tr["inpaint"] = eval_inpaint_engines(workdir, limit, engines,
+                                             textured=textured)
+        logger.info("[%s] e2e repair eval", tier)
+        tr["e2e_repair"] = eval_e2e_repair(root, limit, img_size=img_size)
+        report[tier] = tr
+    # backwards-compatible aliases (round-3 consumers read the flat keys)
+    if "smooth" in report:
+        report.update({k: report["smooth"][k]
+                       for k in ("segmentation", "inpaint", "e2e_repair")})
     return report
 
 
-def render_markdown(report: Dict) -> str:
-    lines = []
-    p = report["protocol"]
-    lines.append(f"Protocol: {p['n_images']} held-out 512² triads, "
-                 f"seeds {p['clean_seed']}/{p['compose_seed']} "
-                 f"(reserved; disjoint from all training seeds).")
-    lines.append("")
-    lines.append("### Segmentation (held-out masks)")
+def _render_tier(tier_report: Dict, heading_suffix: str = "") -> List[str]:
+    lines: List[str] = []
+    lines.append(f"### Segmentation (held-out masks){heading_suffix}")
     lines.append("")
     lines.append("| config | raw IoU | raw F1 | pipeline IoU | "
-                 "precision | recall |")
-    lines.append("|---|---|---|---|---|---|")
-    for key, s in report["segmentation"].items():
+                 "tight IoU | tight recall | precision | recall |")
+    lines.append("|---|---|---|---|---|---|---|---|")
+    for key, s in tier_report["segmentation"].items():
         if "error" in s:
-            lines.append(f"| {key} | — | — | — | — | — | ({s['error']}) ")
+            lines.append(f"| {key} | — | — | — | — | — | — | — | "
+                         f"({s['error']}) ")
             continue
+        t = s.get("pipeline_tight")
+        t_iou = f"{t['iou']:.3f}" if t else "—"
+        t_rec = f"{t['recall']:.3f}" if t else "—"
         lines.append(
             f"| {key} | {s['raw']['iou']:.3f} | {s['raw']['f1']:.3f} | "
-            f"{s['pipeline']['iou']:.3f} | {s['raw']['precision']:.3f} | "
+            f"{s['pipeline']['iou']:.3f} | {t_iou} | {t_rec} | "
+            f"{s['raw']['precision']:.3f} | "
             f"{s['raw']['recall']:.3f} |")
     lines.append("")
-    lines.append("### Inpainting (LaMa-protocol random holes, 256²)")
+    lines.append("### Inpainting (LaMa-protocol random holes, 256²)"
+                 f"{heading_suffix}")
     lines.append("")
     lines.append("| engine | hole PSNR (dB) | SSIM |")
     lines.append("|---|---|---|")
-    for k, v in report["inpaint"].items():
+    for k, v in tier_report["inpaint"].items():
         if not isinstance(v, dict):
             continue
         lines.append(f"| {k} | {v['hole_psnr_db']} | {v['ssim']} |")
     lines.append("")
-    lines.append("### End-to-end repair (fused detect→optimize→inpaint)")
+    lines.append("### End-to-end repair (fused detect→optimize→inpaint)"
+                 f"{heading_suffix}")
     lines.append("")
     lines.append("| path | PSNR to clean (dB) | watermark-region PSNR |")
     lines.append("|---|---|---|")
-    e = report["e2e_repair"]
+    e = tier_report["e2e_repair"]
     lines.append(f"| no-op floor (watermarked) | "
                  f"{e['floor']['psnr_to_clean_db']} | "
                  f"{e['floor']['region_psnr_db']} |")
@@ -392,6 +454,30 @@ def render_markdown(report: Dict) -> str:
         if v:
             lines.append(f"| {k} [{v['engine_used']}] | "
                          f"{v['psnr_to_clean_db']} | {v['region_psnr_db']} |")
+    return lines
+
+
+def render_markdown(report: Dict) -> str:
+    lines = []
+    p = report["protocol"]
+    lines.append(f"Protocol: {p['n_images']} held-out 512² triads per tier. "
+                 f"Smooth tier seeds {p['clean_seed']}/{p['compose_seed']}; "
+                 f"textured tier seeds {p.get('tex_clean_seed', '—')}/"
+                 f"{p.get('tex_compose_seed', '—')} (all reserved; disjoint "
+                 f"from every training seed).")
+    lines.append("")
+    if "smooth" in report:
+        lines.append("## Smooth tier (round-1-3 protocol corpus)")
+        lines.append("")
+        lines.extend(_render_tier(report["smooth"]))
+        if "textured" in report:
+            lines.append("")
+            lines.append("## Textured tier (natural-statistics corpus, "
+                         "round 4)")
+            lines.append("")
+            lines.extend(_render_tier(report["textured"]))
+    else:
+        lines.extend(_render_tier(report))
     return "\n".join(lines)
 
 
@@ -428,9 +514,11 @@ def main(argv=None):
     ap.add_argument("--img-size", type=int, default=IMG_SIZE)
     ap.add_argument("--docs", action="store_true",
                     help="refresh docs/QUALITY.md AUTOGEN block")
+    ap.add_argument("--tiers", nargs="+", default=["smooth", "textured"],
+                    choices=["smooth", "textured"])
     args = ap.parse_args(argv)
     report = build_report(args.workdir, args.limit,
-                          img_size=args.img_size)
+                          img_size=args.img_size, tiers=args.tiers)
     os.makedirs(args.workdir, exist_ok=True)
     out = os.path.join(args.workdir, "quality_report.json")
     with open(out, "w") as f:
