@@ -34,6 +34,72 @@ def test_frozen_set_reproducible(frozen_root, tmp_path):
     assert digest(root) == digest(root2)
 
 
+def test_textured_tier_frozen_and_distinct(frozen_root):
+    """The textured tier (seeds 7800/7801) is reproducible and actually
+    different content from the smooth tier."""
+    import hashlib
+
+    wd, root = frozen_root
+    root_tex = qr.ensure_frozen_set(wd, n=6, img_size=64, textured=True)
+    assert root_tex != root
+    a = sorted(os.listdir(os.path.join(root, "watermarked")))
+    b = sorted(os.listdir(os.path.join(root_tex, "watermarked")))
+    assert len(b) >= 6
+    ha = hashlib.sha1(open(os.path.join(root, "watermarked", a[0]),
+                           "rb").read()).hexdigest()
+    hb = hashlib.sha1(open(os.path.join(root_tex, "watermarked", b[0]),
+                           "rb").read()).hexdigest()
+    assert ha != hb
+
+
+def test_textured_images_have_more_high_frequency_energy():
+    """The textured tier must actually contain the high-frequency
+    statistics it claims (mean |Laplacian| well above the smooth tier)."""
+    import cv2
+
+    from unet_watermark_tpu.data.synth_clean import (synth_clean_image,
+                                                     synth_textured_image)
+
+    def hf(img):
+        g = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY).astype(np.float32)
+        return float(np.abs(cv2.Laplacian(g, cv2.CV_32F)).mean())
+
+    rngs = [np.random.default_rng(s) for s in range(6)]
+    smooth = np.mean([hf(synth_clean_image(r, 128)) for r in rngs[:3]])
+    tex = np.mean([hf(synth_textured_image(r, 128)) for r in rngs[3:]])
+    assert tex > 1.5 * smooth, (smooth, tex)
+
+
+def test_render_markdown_two_tiers():
+    tier = {
+        "segmentation": {"unet_resnet34": {
+            "weights": "w", "model": "Unet", "encoder": "resnet34",
+            "n_images": 2,
+            "raw": {"iou": 0.5, "f1": 0.6, "precision": 0.7, "recall": 0.5},
+            "pipeline": {"iou": 0.55, "f1": 0.6, "precision": 0.7,
+                         "recall": 0.5}}},
+        "inpaint": {"pushpull": {"hole_psnr_db": 20.0, "ssim": 0.9,
+                                 "n_images": 2}},
+        "e2e_repair": {"n_images": 2,
+                       "floor": {"psnr_to_clean_db": 30.0,
+                                 "region_psnr_db": 20.0},
+                       "lama": {"engine_used": "ffc-lama",
+                                "psnr_to_clean_db": 40.0,
+                                "region_psnr_db": 30.0}},
+    }
+    report = {"protocol": {"clean_seed": qr.CLEAN_SEED,
+                           "compose_seed": qr.COMPOSE_SEED,
+                           "tex_clean_seed": qr.TEX_CLEAN_SEED,
+                           "tex_compose_seed": qr.TEX_COMPOSE_SEED,
+                           "img_size": 64, "n_images": 2,
+                           "tiers": ["smooth", "textured"]},
+              "smooth": tier, "textured": tier}
+    md = qr.render_markdown(report)
+    assert "## Smooth tier" in md and "## Textured tier" in md
+    assert md.count("| unet_resnet34 |") == 2
+    assert "7800" in md
+
+
 def test_eval_segmentation_shipped_weights(frozen_root):
     _, root = frozen_root
     r = qr.eval_segmentation(root, limit=4, batch=2,

@@ -118,10 +118,101 @@ def synth_clean_image(rng: np.random.Generator, size: int = 512) -> np.ndarray:
     return (np.clip(base, 0, 1) * 255).astype(np.uint8)
 
 
+def _grating_layer(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Oriented sinusoid grating with noise-distorted phase (wood grain /
+    fabric / brushed-metal family), (size, size) in [0,1]."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    ang = rng.random() * np.pi
+    freq = rng.uniform(12, 80)  # cycles across the image — high frequency
+    coord = np.cos(ang) * xx + np.sin(ang) * yy
+    distort = fractal_noise(rng, size, octaves=3) * rng.uniform(0.0, 0.15)
+    wave = np.sin(2 * np.pi * freq * (coord + distort)
+                  + rng.random() * 2 * np.pi)
+    if rng.random() < 0.4:  # square-ish duty cycle (stripes)
+        wave = np.tanh(wave * rng.uniform(2, 8))
+    return (wave + 1) / 2
+
+
+def _cellular_layer(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Tile/brick/checker pattern with per-cell value jitter."""
+    cells = int(rng.integers(12, 48))
+    vals = rng.random((cells, cells), np.float32)
+    if rng.random() < 0.5:  # brick offset every other row
+        vals[1::2] = np.roll(vals[1::2], 1, axis=1)
+    import cv2
+
+    return cv2.resize(vals, (size, size), interpolation=cv2.INTER_NEAREST)
+
+
+def _fine_fbm_layer(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Full-spectrum fBm: octaves down to 2-4 px features — the
+    high-frequency statistics the smooth tier's capped octaves lack."""
+    out = np.zeros((size, size), np.float32)
+    amp, total = 1.0, 0.0
+    octaves = int(np.log2(size)) - 1  # cells up to size/2
+    persistence = rng.uniform(0.55, 0.75)
+    for o in range(octaves):
+        cells = min(size // 2, 2 ** (o + 2))
+        out += amp * _value_noise(rng, size, cells)
+        total += amp
+        amp *= persistence
+    out /= total
+    lo, hi = out.min(), out.max()
+    return (out - lo) / max(hi - lo, 1e-6)
+
+
+def synth_textured_image(rng: np.random.Generator,
+                         size: int = 512) -> np.ndarray:
+    """One procedural clean image with NATURAL-IMAGE high-frequency
+    statistics, (size, size, 3) uint8 RGB.
+
+    The smooth tier (synth_clean_image) caps its noise octaves low
+    enough that boundary interpolation (push-pull) is a near-ideal
+    inpainter on it, which inverts the engine ranking vs real photos
+    (docs/QUALITY.md round 3). This tier layers fine-grain fBm,
+    oriented gratings, cellular tiles, and per-pixel speckle so a hole
+    can only be filled well by synthesizing texture — the regime the
+    reference's pretrained LaMa targets (its masked-photo corpus,
+    /root/reference/src/scripts/gen_data.py:23-56)."""
+    import cv2
+
+    base = _gradient_layer(rng, size)
+    # 1-3 strong high-frequency layers, each colorized with its palette
+    for _ in range(int(rng.integers(1, 4))):
+        kind = rng.integers(0, 3)
+        if kind == 0:
+            tex = _fine_fbm_layer(rng, size)
+        elif kind == 1:
+            tex = _grating_layer(rng, size)
+        else:
+            tex = _cellular_layer(rng, size)
+        cols = _random_palette(rng, 2)
+        layer = cols[0][None, None] * (1 - tex[..., None]) + \
+            cols[1][None, None] * tex[..., None]
+        w = rng.uniform(0.35, 0.75)
+        base = base * (1 - w) + layer * w
+    if rng.random() < 0.5:  # geometric content on top
+        base = _draw_shapes(rng, base)
+    # per-pixel speckle grain — survives JPEG at quality 95
+    grain = rng.normal(0, rng.uniform(0.01, 0.05), (size, size, 1))
+    base = base + grain.astype(np.float32)
+    if rng.random() < 0.2:  # mild blur on a minority only
+        base = cv2.GaussianBlur(base, (3, 3), 0)
+    return (np.clip(base, 0, 1) * 255).astype(np.uint8)
+
+
 def generate_clean_dataset(output_dir: str, count: int = 256,
                            size: int = 512, seed: int = 0,
-                           quality: int = 95) -> int:
-    """Write `count` procedural clean JPGs; resumable (skips existing)."""
+                           quality: int = 95,
+                           texture_ratio: float = 0.0) -> int:
+    """Write `count` procedural clean JPGs; resumable (skips existing).
+
+    texture_ratio: fraction of images drawn from the textured tier
+    (synth_textured_image). 0.0 (default) reproduces the historical
+    smooth-tier corpus byte-identically for a given seed; the per-image
+    rng stream is independent of the ratio, so raising it only switches
+    which generator consumes each image's stream.
+    """
     import cv2
 
     os.makedirs(output_dir, exist_ok=True)
@@ -131,7 +222,10 @@ def generate_clean_dataset(output_dir: str, count: int = 256,
         if os.path.exists(path):
             continue
         rng = np.random.default_rng(seed * 1_000_003 + i)
-        img = synth_clean_image(rng, size)
+        if texture_ratio > 0 and (i % max(1, round(1 / texture_ratio))) == 0:
+            img = synth_textured_image(rng, size)
+        else:
+            img = synth_clean_image(rng, size)
         cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
                     [cv2.IMWRITE_JPEG_QUALITY, quality])
         written += 1
@@ -213,12 +307,16 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--logos", action="store_true",
                    help="generate RGBA logo assets instead of clean images")
+    p.add_argument("--texture-ratio", type=float, default=0.0,
+                   help="fraction of images from the high-frequency "
+                        "textured tier (0 = historical smooth corpus)")
     args = p.parse_args(argv)
     if args.logos:
         n = generate_logo_set(args.output, args.count, args.size, args.seed)
     else:
         n = generate_clean_dataset(args.output, args.count, args.size,
-                                   args.seed)
+                                   args.seed,
+                                   texture_ratio=args.texture_ratio)
     print(f"wrote {n} images to {args.output}")
 
 
