@@ -95,3 +95,26 @@ def test_reproducible_with_seed(clean_dir, logos_dir):
         img_path, logos[0], rng=random.Random(5))
     np.testing.assert_array_equal(np.array(a1), np.array(a2))
     np.testing.assert_array_equal(m1, m2)
+
+
+def test_ocr_refined_text_mask(clean_dir):
+    """use_ocr_mask (ref gen_data.py:352-366): the refined mask stays
+    inside the (dilated) geometric footprint and never silently drops
+    the watermark; identical seed without the flag reproduces the
+    historical geometric mask."""
+    img_path = os.path.join(clean_dir, os.listdir(clean_dir)[0])
+    _, geo = gen_data.generate_text_watermark(img_path,
+                                              rng=random.Random(11))
+    img, ocr = gen_data.generate_text_watermark(img_path,
+                                                rng=random.Random(11),
+                                                use_ocr_mask=True)
+    assert ocr.shape == geo.shape
+    assert ocr.sum() > 0
+    # refined pixels must lie within the dilated geometric footprint
+    # (or the fallback returned geometric exactly)
+    import cv2
+    footprint = cv2.dilate((geo > 0).astype(np.uint8),
+                           np.ones((9, 9), np.uint8)) > 0
+    assert np.all((ocr > 0) <= footprint)
+    # coverage floor: at least 20% of the true footprint
+    assert (ocr > 0).sum() >= 0.2 * (geo > 0).sum()

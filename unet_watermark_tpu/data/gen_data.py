@@ -182,12 +182,48 @@ def _random_pos(rng: random.Random, canvas: Tuple[int, int],
     return x, y
 
 
+def _ocr_refine_text_mask(watermarked: Image.Image,
+                          geo_mask: np.ndarray) -> np.ndarray:
+    """OCR-refined text mask (ref gen_data.py:352-366): run a text
+    detector over the COMPOSITED image and use its box fills as the mask,
+    so training labels reflect what a detector sees rather than the raw
+    alpha footprint. Two deliberate deviations from the reference:
+      * the zero-egress builtin detector (ocr/builtin.py) stands in for
+        EasyOCR;
+      * the OCR mask is intersected with the dilated geometric footprint
+        — the reference trusts OCR output verbatim, which lets false
+        positives on background content corrupt labels.
+    Falls back to the geometric mask when OCR recovers too little of the
+    footprint (the reference's exception fallback, gen_data.py:366).
+
+    geo_mask: bool (H, W). Returns bool (H, W).
+    """
+    import cv2
+
+    from ..ocr.builtin import BuiltinTextDetector
+
+    ocr_mask = BuiltinTextDetector().generate_text_mask(watermarked)
+    if ocr_mask is None:
+        return geo_mask
+    footprint = cv2.dilate(geo_mask.astype(np.uint8),
+                           np.ones((9, 9), np.uint8)) > 0
+    refined = (ocr_mask > 0) & footprint
+    # OCR must recover a meaningful share of the real footprint, else the
+    # label would silently drop the watermark
+    if refined.sum() < 0.2 * max(int(geo_mask.sum()), 1):
+        return geo_mask
+    return refined
+
+
 def generate_text_watermark(clean_image_path: str,
                             enhance_transparent: bool = True,
                             fonts: Optional[Sequence[str]] = None,
-                            rng: Optional[random.Random] = None
+                            rng: Optional[random.Random] = None,
+                            use_ocr_mask: bool = False
                             ) -> Tuple[Image.Image, np.ndarray]:
-    """Text watermark + mask (gen_data.py:244-378)."""
+    """Text watermark + mask (gen_data.py:244-378). use_ocr_mask enables
+    the reference's OCR-refined mask pass (gen_data.py:352-366); off by
+    default so historical corpora stay byte-identical per seed."""
     rng = rng or random.Random()
     fonts = fonts if fonts is not None else load_system_fonts()
     clean = Image.open(clean_image_path).convert("RGBA")
@@ -205,7 +241,10 @@ def generate_text_watermark(clean_image_path: str,
         pos = _random_pos(rng, (clean.width, clean.height),
                           (timg.width, timg.height))
         _paste_and_mask(clean, timg, pos, out_mask)
-    return clean.convert("RGB"), out_mask.astype(np.uint8) * 255
+    rgb = clean.convert("RGB")
+    if use_ocr_mask:
+        out_mask = _ocr_refine_text_mask(rgb, out_mask)
+    return rgb, out_mask.astype(np.uint8) * 255
 
 
 def generate_watermarked_image(clean_image_path: str, watermark_path: str,
@@ -303,7 +342,8 @@ def generate_dataset(clean_dir: str, output_root: str,
                      ratios: Optional[dict] = None,
                      enhance_transparent: bool = True,
                      seed: int = 42,
-                     resume: bool = True) -> dict:
+                     resume: bool = True,
+                     use_ocr_mask: bool = False) -> dict:
     """Bulk generation with resume — analog of gen_data.py main (:713-967).
 
     ratios: {"logo": w, "text": w, "mixed": w, "multi": w} sampling weights.
@@ -344,7 +384,8 @@ def generate_dataset(clean_dir: str, output_root: str,
         try:
             if kind == "text":
                 img, mask = generate_text_watermark(
-                    clean_path, enhance_transparent, fonts, rng)
+                    clean_path, enhance_transparent, fonts, rng,
+                    use_ocr_mask=use_ocr_mask)
             elif kind == "logo":
                 img, mask = generate_watermarked_image(
                     clean_path, rng.choice(logos), enhance_transparent, rng)
@@ -377,11 +418,13 @@ def main(argv=None):
     p.add_argument("--opaque", action="store_true",
                    help="use opaque (non-transparent) watermarks")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--ocr-mask", action="store_true",
+                   help="OCR-refined text masks (ref gen_data.py:352-366)")
     args = p.parse_args(argv)
     stats = generate_dataset(
         args.clean_dir, args.output, args.logos_dir, args.count,
         enhance_transparent=not args.opaque, seed=args.seed,
-        resume=not args.no_resume)
+        resume=not args.no_resume, use_ocr_mask=args.ocr_mask)
     print(stats)
 
 
