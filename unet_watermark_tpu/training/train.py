@@ -86,6 +86,100 @@ def make_train_step(model, loss_fn, policy_name: str, donate: bool = True):
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_train_epoch_scan(model, loss_fn, policy_name: str,
+                          donate: bool = True):
+    """Whole-epoch train step: ONE device dispatch per epoch.
+
+    With the corpus device-resident (data/pipeline.DeviceDataPipeline)
+    the per-batch Python loop still pays a host→device dispatch round
+    trip per step — through this environment's device tunnel that is
+    tens of ms × steps/epoch of pure latency. This builds the epoch as a
+    single jitted `lax.scan` over the shuffled index matrix: gather →
+    augment → fwd/bwd → update, metrics summed in-scan, ONE dispatch and
+    ONE scalar sync per epoch. Augmentation keys derive from a fresh
+    split chain per epoch — statistically equivalent to the per-step
+    loop's chain, not bit-identical to it.
+
+    Signature: fn(images_u8, masks_u8, state, idx, valid, rng)
+      idx: (nb, batch) int32 corpus indices; valid: (nb, batch) f32
+    Returns (state, summed metric dict).
+    """
+
+    def step_core(state, batch, rng):
+        images, masks = _to_float(batch)
+        images, masks = aug.augment_batch(rng, images, masks, policy_name)
+        valid = batch["valid"]
+        n = images.shape[0]
+        vmask = valid.reshape((n,) + (1,) * 3)
+
+        def loss_of(params):
+            logits, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"])
+            logits = jnp.where(vmask > 0, logits, -20.0)
+            targets = masks * vmask
+            raw = loss_fn(logits, targets)
+            scale = n / jnp.maximum(jnp.sum(valid), 1.0)
+            return raw * scale, (logits, targets, mutated["batch_stats"])
+
+        (loss, (logits, targets, new_bs)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_bs)
+        stats = metrics_lib.confusion_stats(logits, targets, valid=valid)
+        return new_state, {"loss": loss, **stats}
+
+    def epoch(images_u8, masks_u8, state, idx, valid, rng):
+        def body(carry, xs):
+            state, rng = carry
+            ib, vb = xs
+            rng, sub = jax.random.split(rng)
+            batch = {
+                "image": jnp.take(images_u8, ib, axis=0),
+                "mask": jnp.take(masks_u8, ib, axis=0)[..., None],
+                "valid": vb,
+            }
+            state, m = step_core(state, batch, sub)
+            return (state, rng), m
+
+        (state, _), ms = jax.lax.scan(body, (state, rng), (idx, valid))
+        return state, jax.tree_util.tree_map(
+            lambda x: jnp.sum(x, axis=0), ms)
+
+    return jax.jit(epoch, donate_argnums=(2,) if donate else ())
+
+
+def run_train_epoch_scan(epoch_fn, state, pipeline, rng, epoch: int):
+    """Drive make_train_epoch_scan over a DeviceDataPipeline: build the
+    shuffled (nb, batch) index matrix the pipeline would have iterated,
+    run the one-dispatch epoch. Returns (state, rng, metrics, seconds).
+    """
+    pipeline._ensure_device()
+    n = len(pipeline.dataset)
+    bs = pipeline.batch_size
+    idx = np.arange(n)
+    if pipeline.shuffle:
+        np.random.default_rng(pipeline.seed + pipeline._epoch).shuffle(idx)
+    pipeline._epoch += 1
+    pad = (-n) % bs
+    valid = np.ones((n + pad,), np.float32)
+    if pad:
+        valid[n:] = 0.0
+        idx = np.concatenate([idx, np.zeros((pad,), idx.dtype)])
+    nb = len(idx) // bs
+    t0 = time.time()
+    rng, sub = jax.random.split(rng)
+    state, agg = epoch_fn(
+        pipeline._images, pipeline._masks, state,
+        jnp.asarray(idx.reshape(nb, bs), jnp.int32),
+        jnp.asarray(valid.reshape(nb, bs)), sub)
+    agg = jax.tree_util.tree_map(np.asarray, agg)  # one sync per epoch
+    out = metrics_lib.metrics_from_stats(
+        {k: agg[k] for k in ("tp", "fp", "fn", "tn")})
+    out = {k: float(v) for k, v in out.items()}
+    out["loss"] = float(agg["loss"]) / nb
+    return state, rng, out, time.time() - t0
+
+
 def make_eval_step(model, loss_fn, threshold: float = 0.5):
     def step(state: TrainState, batch):
         images, masks = _to_float(batch)
@@ -232,6 +326,15 @@ def train(cfg: Config, resume_from: Optional[str] = None,
     train_step = make_train_step(model, loss_fn, policy,
                                  donate=cfg.TRAIN.DONATE_STATE)
     eval_step = make_eval_step(model, loss_fn)
+    # whole-epoch scan path: device-resident corpus + no per-batch logging
+    from ..data.pipeline import DeviceDataPipeline
+    epoch_scan = None
+    if (getattr(cfg.TRAIN, "EPOCH_SCAN", True)
+            and isinstance(train_pipe, DeviceDataPipeline)
+            and not cfg.TRAIN.LOG_INTERVAL):
+        epoch_scan = make_train_epoch_scan(model, loss_fn, policy,
+                                           donate=cfg.TRAIN.DONATE_STATE)
+        logger.info("epoch-scan path: one dispatch per epoch")
 
     scheduler = LRScheduler(cfg)
     early = EarlyStopping(cfg.TRAIN.EARLY_STOPPING_PATIENCE)
@@ -271,9 +374,13 @@ def train(cfg: Config, resume_from: Optional[str] = None,
     saver = AsyncSaver(max_pending=1)
 
     for epoch in range(start_epoch, cfg.TRAIN.EPOCHS):
-        state, rng, train_m, dt = run_train_epoch(
-            train_step, state, _limit(train_pipe, max_steps_per_epoch),
-            rng, epoch, log_interval=cfg.TRAIN.LOG_INTERVAL)
+        if epoch_scan is not None and max_steps_per_epoch is None:
+            state, rng, train_m, dt = run_train_epoch_scan(
+                epoch_scan, state, train_pipe, rng, epoch)
+        else:
+            state, rng, train_m, dt = run_train_epoch(
+                train_step, state, _limit(train_pipe, max_steps_per_epoch),
+                rng, epoch, log_interval=cfg.TRAIN.LOG_INTERVAL)
         val_m = run_eval_epoch(eval_step, state, val_pipe)
 
         lr = scheduler.step(val_m["loss"])

@@ -321,12 +321,24 @@ def train_inpaint(clean_dir: str, output_dir: str,
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     key = jax.random.PRNGKey(seed)
-    batches = load_clean_batches(clean_dir, batch_size, img_size, seed)
+    # device-resident corpus when it fits: random crops on device, H2D
+    # per step = one PRNG key (the seg trainer's DEVICE_CACHE treatment;
+    # the host iterator is the fallback for oversized/mixed corpora)
+    sampler = device_clean_sampler(clean_dir, batch_size, img_size, seed)
+    if sampler is None:
+        batches = load_clean_batches(clean_dir, batch_size, img_size, seed)
+        sample = None
+    else:
+        sample, _ = sampler
     history = []
     t0 = time.time()
     for i in range(steps):
         key, sub = jax.random.split(key)
-        images = jnp.asarray(next(batches))
+        if sample is not None:
+            key, kcrop = jax.random.split(key)
+            images = sample(kcrop)
+        else:
+            images = jnp.asarray(next(batches))
         use_gan = bool(gan) and i >= warmup_steps
         (params, batch_stats, opt_state, d_params, d_opt,
          g_loss, d_loss) = step(params, batch_stats, opt_state,
