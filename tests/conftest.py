@@ -120,6 +120,24 @@ SLOW_TESTS = {
     "tests/test_training.py::test_train_step_decreases_loss",
     "tests/test_training.py::test_train_writes_best_checkpoint_async",
     "tests/test_utils.py::test_training_optimizer_schedules",
+    # second-pass additions: these paid little in the full run because
+    # slower siblings had already warmed the in-process compile caches;
+    # standalone in the fast core they re-measure 13-78s
+    "tests/test_predictor.py::test_step1_writes_masks_and_skips_done",
+    "tests/test_predictor.py::test_fused_repair_fn_pushpull_fallback",
+    "tests/test_predictor.py::test_predict_mask_single",
+    "tests/test_graft_entry.py::test_entry_compile_check_small",
+    "tests/test_models.py::test_bf16_compute_fp32_logits",
+    "tests/test_models.py::test_activation_sigmoid",
+    "tests/test_dataset_tools.py::test_batch_repair_optimizer",
+    "tests/test_training.py::test_eval_step_valid_mask_excludes_padding",
+    "tests/test_latent_diffusion.py::test_train_and_inpaint",
+    "tests/test_latent_diffusion.py::test_sd3_fallback_uses_native_diffusion",
+    "tests/test_latent_diffusion.py::test_diffusion_engine_in_registry",
+    "tests/test_latent_diffusion.py::test_flux_fallback_uses_native_diffusion",
+    "tests/test_components_misc.py::test_model_size_tools",
+    "tests/test_pallas_morph.py::test_chain_matches_xla_ops",
+    "tests/test_pallas_morph.py::test_edge_masks_stay_inside",
 }
 
 

@@ -246,3 +246,17 @@ def test_make_pipelines_selects_device_cache(data_root):
     cfg.DATA.DEVICE_CACHE_MB = 0
     tr2, _ = make_pipelines(cfg, train_ds, val_ds, mesh=None)
     assert isinstance(tr2, DataPipeline)
+
+
+def test_mask_bitpack_roundtrip():
+    """np.packbits -> device unpack_mask_bits is exact for any {0,1} mask
+    with width % 8 == 0 (the resident-mask HBM footprint trick)."""
+    import numpy as np
+
+    from unet_watermark_tpu.data.pipeline import unpack_mask_bits
+
+    rng = np.random.default_rng(3)
+    m = (rng.random((4, 16, 24)) > 0.6).astype(np.uint8)
+    packed = np.packbits(m, axis=-1)
+    out = np.asarray(unpack_mask_bits(packed))
+    np.testing.assert_array_equal(out, m)

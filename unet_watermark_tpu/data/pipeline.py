@@ -141,6 +141,21 @@ class DataPipeline:
             stop.set()
 
 
+def unpack_mask_bits(packed):
+    """Device-side inverse of np.packbits(axis=-1, big bitorder):
+    (..., S, S//8) uint8 -> (..., S, S) uint8 in {0,1}. Bit-packing the
+    resident masks is a free 8x on their HBM footprint (0.54 -> 0.07 GB
+    for a 2048-image 512² corpus) — the margin that lets the batch-128
+    epoch-scan train step coexist with a device-resident corpus on a
+    16 GB chip; the unpack is a handful of VPU ops fused into the batch
+    gather."""
+    import jax.numpy as jnp
+
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # big bitorder
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(packed.shape[:-1] + (packed.shape[-1] * 8,))
+
+
 class DeviceDataPipeline:
     """Whole-corpus-in-HBM pipeline: the decoded uint8 dataset is uploaded
     to the device ONCE, then every batch is a jitted on-device gather —
@@ -172,12 +187,16 @@ class DeviceDataPipeline:
         self.drop_remainder = drop_remainder
         self._epoch = 0
         self._images = None  # device uint8 (N,S,S,3)
-        self._masks = None   # device uint8 (N,S,S)
+        self._masks = None   # device uint8 (N,S,S) or bit-packed (N,S,S//8)
+        self.masks_packed = False
         import jax.numpy as jnp  # local: keep module import light
 
         def gather(images, masks, idx):
+            m = jnp.take(masks, idx, axis=0)
+            if self.masks_packed:
+                m = unpack_mask_bits(m)
             return {"image": jnp.take(images, idx, axis=0),
-                    "mask": jnp.take(masks, idx, axis=0)[..., None]}
+                    "mask": m[..., None]}
 
         self._gather = jax.jit(gather)
 
@@ -203,13 +222,17 @@ class DeviceDataPipeline:
                         .astype(np.uint8))
         host_i = np.stack(imgs)
         host_m = np.stack(msks)
+        if host_m.shape[-1] % 8 == 0:
+            host_m = np.packbits(host_m, axis=-1)  # 8 mask px per byte
+            self.masks_packed = True
         self._images = jax.device_put(host_i)
         self._masks = jax.device_put(host_m)
         jax.block_until_ready((self._images, self._masks))
         logger.info(
             "device-resident dataset: %d samples, %.2f GB uint8 uploaded "
-            "in %.1fs", len(imgs),
-            (host_i.nbytes + host_m.nbytes) / 2 ** 30, time.time() - t0)
+            "in %.1fs%s", len(imgs),
+            (host_i.nbytes + host_m.nbytes) / 2 ** 30, time.time() - t0,
+            " (masks bit-packed)" if self.masks_packed else "")
 
     def __iter__(self) -> Iterator[dict]:
         self._ensure_device()

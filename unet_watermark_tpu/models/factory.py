@@ -51,7 +51,8 @@ class SegmentationModel(nn.Module):
                               remat=self.remat)
         feats = encoder.copy(name="encoder")(x, train)
         decoder = _make_decoder(self.arch, self.decoder_channels,
-                                self.dtype, self.fused, self.decoder_impl)
+                                self.dtype, self.fused, self.decoder_impl,
+                                remat=self.remat)
         y = decoder.copy(name="decoder")(feats, train)
         y = SegmentationHead(classes=self.classes, activation=self.activation,
                              dtype=self.dtype, name="segmentation_head")(y)
@@ -59,21 +60,31 @@ class SegmentationModel(nn.Module):
 
 
 def _make_decoder(arch: str, decoder_channels: Sequence[int], dtype: Dtype,
-                  fused: bool = True, decoder_impl: str = "canonical"):
+                  fused: bool = True, decoder_impl: str = "canonical",
+                  remat: bool = False):
     arch_l = arch.lower()
     if arch_l == "unet":
-        return UnetDecoder(decoder_channels=tuple(decoder_channels),
-                           dtype=dtype, fused=fused)
-    if arch_l in ("unetplusplus", "unet++"):
-        if decoder_impl == "smp":
-            return SMPUnetPlusPlusDecoder(
-                decoder_channels=tuple(decoder_channels), dtype=dtype,
-                fused=fused)
-        return UnetPlusPlusDecoder(decoder_channels=tuple(decoder_channels),
-                                   dtype=dtype, fused=fused)
-    # Families implemented in archs.py (imported lazily to avoid cycles).
-    from . import archs
-    return archs.make_decoder(arch_l, decoder_channels, dtype)
+        cls = UnetDecoder
+        kwargs = dict(decoder_channels=tuple(decoder_channels),
+                      dtype=dtype, fused=fused)
+    elif arch_l in ("unetplusplus", "unet++"):
+        cls = (SMPUnetPlusPlusDecoder if decoder_impl == "smp"
+               else UnetPlusPlusDecoder)
+        kwargs = dict(decoder_channels=tuple(decoder_channels),
+                      dtype=dtype, fused=fused)
+    else:
+        # Families implemented in archs.py (imported lazily: avoids cycles).
+        from . import archs
+        return archs.make_decoder(arch_l, decoder_channels, dtype)
+    if remat:
+        # MODEL.REMAT covers the DECODER too (round 4): the backward pass
+        # stores only the encoder feature pyramid and recomputes the
+        # dense-grid activations — at 512² batch 128 those bf16 temps are
+        # 256 MB each and were the OOM driver with a device-resident
+        # corpus. Same static-train-arg treatment as the encoder blocks
+        # (encoders.py:146).
+        cls = nn.remat(cls, static_argnums=(2,))
+    return cls(**kwargs)
 
 
 # Mirrors /root/reference/src/models/unet_model.py:17-27.

@@ -87,7 +87,8 @@ def make_train_step(model, loss_fn, policy_name: str, donate: bool = True):
 
 
 def make_train_epoch_scan(model, loss_fn, policy_name: str,
-                          donate: bool = True):
+                          donate: bool = True,
+                          masks_packed: bool = False):
     """Whole-epoch train step: ONE device dispatch per epoch.
 
     With the corpus device-resident (data/pipeline.DeviceDataPipeline)
@@ -133,9 +134,13 @@ def make_train_epoch_scan(model, loss_fn, policy_name: str,
             state, rng = carry
             ib, vb = xs
             rng, sub = jax.random.split(rng)
+            m_u8 = jnp.take(masks_u8, ib, axis=0)
+            if masks_packed:
+                from ..data.pipeline import unpack_mask_bits
+                m_u8 = unpack_mask_bits(m_u8)
             batch = {
                 "image": jnp.take(images_u8, ib, axis=0),
-                "mask": jnp.take(masks_u8, ib, axis=0)[..., None],
+                "mask": m_u8[..., None],
                 "valid": vb,
             }
             state, m = step_core(state, batch, sub)
@@ -332,9 +337,12 @@ def train(cfg: Config, resume_from: Optional[str] = None,
     if (getattr(cfg.TRAIN, "EPOCH_SCAN", True)
             and isinstance(train_pipe, DeviceDataPipeline)
             and not cfg.TRAIN.LOG_INTERVAL):
-        epoch_scan = make_train_epoch_scan(model, loss_fn, policy,
-                                           donate=cfg.TRAIN.DONATE_STATE)
-        logger.info("epoch-scan path: one dispatch per epoch")
+        train_pipe._ensure_device()  # decides mask bit-packing
+        epoch_scan = make_train_epoch_scan(
+            model, loss_fn, policy, donate=cfg.TRAIN.DONATE_STATE,
+            masks_packed=train_pipe.masks_packed)
+        logger.info("epoch-scan path: one dispatch per epoch%s",
+                    " (bit-packed masks)" if train_pipe.masks_packed else "")
 
     scheduler = LRScheduler(cfg)
     early = EarlyStopping(cfg.TRAIN.EARLY_STOPPING_PATIENCE)
