@@ -421,15 +421,23 @@ def train(cfg: Config, resume_from: Optional[str] = None,
         # D2H fetch + orbax/.pth/.npz writes overlap the next epoch
         if val_m["loss"] < best_val_loss:
             best_val_loss = val_m["loss"]
-            # slim (no opt_state): best saves fire on every improving
-            # epoch; a full snapshot held on device for the length of the
-            # slow-tunnel D2H OOMed the step alongside a device-cached
-            # corpus (round-3 seg_r4 log). Full-fidelity resume comes
-            # from the periodic checkpoints below.
-            snap = slim_snapshot(state)
-            saver.submit(_save_best, cfg, ckpt_dir, snap, dict(meta))
             best_path = os.path.abspath(
                 os.path.join(ckpt_dir, "best_model"))
+            if saver.busy():
+                # at most ONE best-save snapshot device-resident: early
+                # improving streaks otherwise stack snapshots beside the
+                # resident corpus and OOM the next epoch (round-4 seg_r5
+                # log: the batch-128 epoch-scan run died at epoch 6 with
+                # two snapshots + staging in flight). Waiting here costs
+                # the D2H tail only when two improvements land within one
+                # transfer window; steady-state epochs are unaffected.
+                saver.flush()
+            # slim (no opt_state): a full snapshot held on device for the
+            # length of the slow-tunnel D2H OOMed the step alongside a
+            # device-cached corpus (round-3 seg_r4 log). Full-fidelity
+            # resume comes from the periodic checkpoints below.
+            snap = slim_snapshot(state)
+            saver.submit(_save_best, cfg, ckpt_dir, snap, dict(meta))
         if not cfg.TRAIN.SAVE_BEST_ONLY and (
                 (epoch + 1) % cfg.TRAIN.SAVE_INTERVAL == 0):
             saver.submit(save_checkpoint, ckpt_dir,

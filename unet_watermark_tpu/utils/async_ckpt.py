@@ -85,6 +85,13 @@ class AsyncSaver:
         self._ensure_worker()
         self._q.put((fn, args, kwargs))
 
+    def busy(self) -> bool:
+        """True while any queued or in-flight save has not finished —
+        i.e. while its on-device snapshot is still resident. Callers on
+        tight HBM budgets (batch-128 epoch-scan beside a resident
+        corpus) skip a new snapshot while one is outstanding."""
+        return self._q.unfinished_tasks > 0
+
     def flush(self, raise_errors: bool = True) -> None:
         """Wait for all queued saves; re-raise the first worker error."""
         self._q.join()
