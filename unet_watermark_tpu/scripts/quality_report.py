@@ -292,9 +292,13 @@ def eval_inpaint_engines(workdir: str, limit: int,
 
 def eval_e2e_repair(root: str, limit: int, batch: int = 16,
                     seg_weights: Optional[str] = None,
-                    img_size: int = IMG_SIZE) -> Dict:
+                    img_size: int = IMG_SIZE,
+                    mask_mode: str = "parity") -> Dict:
     """Watermarked -> fused detect->optimize->inpaint -> PSNR to clean,
-    for each available fill engine, vs the no-op floor."""
+    for each available fill engine, vs the no-op floor. mask_mode
+    selects the optimization chain (PREDICT.MASK_MODE) — on textured
+    content the parity chain's over-coverage repaints clean texture, so
+    the tight chain is measured alongside."""
     import jax.numpy as jnp
 
     from ..configs import get_cfg_defaults
@@ -302,6 +306,7 @@ def eval_e2e_repair(root: str, limit: int, batch: int = 16,
 
     cfg = get_cfg_defaults()
     cfg.DATA.IMG_SIZE = img_size
+    cfg.PREDICT.MASK_MODE = mask_mode
     predictor = WatermarkPredictor(model_path=seg_weights, config=cfg)
 
     names, wms, cls, mks = [], [], [], []
@@ -401,6 +406,10 @@ def build_report(workdir: str, limit: int = 64,
                                              textured=textured)
         logger.info("[%s] e2e repair eval", tier)
         tr["e2e_repair"] = eval_e2e_repair(root, limit, img_size=img_size)
+        if textured:
+            logger.info("[%s] e2e repair eval (tight mask mode)", tier)
+            tr["e2e_repair_tight"] = eval_e2e_repair(
+                root, limit, img_size=img_size, mask_mode="tight")
         report[tier] = tr
     # backwards-compatible aliases (round-3 consumers read the flat keys)
     if "smooth" in report:
@@ -454,6 +463,14 @@ def _render_tier(tier_report: Dict, heading_suffix: str = "") -> List[str]:
         if v:
             lines.append(f"| {k} [{v['engine_used']}] | "
                          f"{v['psnr_to_clean_db']} | {v['region_psnr_db']} |")
+    et = tier_report.get("e2e_repair_tight")
+    if et:
+        for k in ("pushpull", "lama"):
+            v = et.get(k)
+            if v:
+                lines.append(
+                    f"| {k} [{v['engine_used']}], tight mask | "
+                    f"{v['psnr_to_clean_db']} | {v['region_psnr_db']} |")
     return lines
 
 
