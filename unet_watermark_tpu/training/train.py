@@ -33,7 +33,8 @@ from ..ops import augment as aug
 from ..ops import losses as losses_lib
 from ..ops import metrics as metrics_lib
 from ..parallel import make_mesh, mesh_from_config, replicated, shard_batch
-from ..utils.async_ckpt import AsyncSaver, slim_snapshot, snapshot_state
+from ..utils.async_ckpt import (AsyncSaver, host_snapshot,
+                                slim_snapshot, snapshot_state)
 from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
 from .state import EarlyStopping, LRScheduler, TrainState, make_optimizer
 
@@ -440,9 +441,12 @@ def train(cfg: Config, resume_from: Optional[str] = None,
             saver.submit(_save_best, cfg, ckpt_dir, snap, dict(meta))
         if not cfg.TRAIN.SAVE_BEST_ONLY and (
                 (epoch + 1) % cfg.TRAIN.SAVE_INTERVAL == 0):
+            # full checkpoint (with opt_state) via zero-HBM host fetch —
+            # its 3x-params on-device snapshot OOMs beside a resident
+            # corpus at batch 128 (utils/async_ckpt.host_snapshot)
             saver.submit(save_checkpoint, ckpt_dir,
                          f"checkpoint_epoch_{epoch + 1}",
-                         snapshot_state(state), dict(meta))
+                         host_snapshot(state), dict(meta))
 
         if cfg.TRAIN.USE_EARLY_STOPPING and early(val_m["loss"]):
             logger.info("early stopping at epoch %d", epoch + 1)

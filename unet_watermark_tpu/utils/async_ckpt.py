@@ -34,6 +34,21 @@ def snapshot_state(state) -> Any:
         lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
 
 
+def host_snapshot(state) -> Any:
+    """Leaf-by-leaf synchronous D2H fetch of the live state — ZERO extra
+    HBM (no on-device copy; residency during the fetch is one leaf's
+    transfer buffer). Used for the periodic FULL checkpoints: their
+    on-device snapshot (params + Adam m/v ≈ 3x params) is what OOM'd the
+    batch-128 epoch-scan run at epoch 30 beside the resident corpus.
+    Blocks the train loop for the D2H (~40 s over the slow tunnel) —
+    acceptable once per SAVE_INTERVAL epochs; best-saves keep the
+    overlapped on-device slim snapshot."""
+    import numpy as np
+
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, state)
+
+
 def slim_snapshot(state) -> Any:
     """Inference-grade snapshot: params/batch_stats/step WITHOUT the
     optimizer state. Best-model saves fire on every improving epoch and
