@@ -83,6 +83,7 @@ class AsyncSaver:
     def _run(self):
         while True:
             job = self._q.get()
+            fn = args = kwargs = None
             try:
                 if job is None:
                     return
@@ -92,6 +93,12 @@ class AsyncSaver:
                 logger.warning("async checkpoint save failed: %s", e)
                 self._errors.append(e)
             finally:
+                # drop the job BEFORE blocking on the next q.get(): the
+                # local otherwise pins the finished save's on-device
+                # snapshot (~100 MB) until the next job arrives — enough
+                # retained HBM to OOM a batch-128 run beside a resident
+                # corpus (round-4 seg_r5 extension log)
+                job = fn = args = kwargs = None
                 self._q.task_done()
 
     def submit(self, fn: Callable, *args, **kwargs) -> None:
