@@ -74,7 +74,8 @@ def train_command(args) -> int:
     from .training import train
 
     result = train(cfg, resume_from=args.resume,
-                   use_blurred_mask=args.use_blurred_mask)
+                   use_blurred_mask=args.use_blurred_mask,
+                   init_weights=getattr(args, "init_weights", None))
     logger.info("training done: best_val_loss=%.4f over %d epochs",
                 result["best_val_loss"], result["epochs_run"])
     return 0
@@ -195,6 +196,10 @@ def build_parser() -> argparse.ArgumentParser:
     tp.add_argument("--no-early-stopping", action="store_true")
     tp.add_argument("--early-stopping-patience", type=int)
     tp.add_argument("--resume", type=str)
+    tp.add_argument("--init-weights", type=str, default=None,
+                    help="warm-start params from a shipped-format .npz "
+                         "(fine-tune; unlike --resume, optimizer state "
+                         "and history start fresh)")
     tp.add_argument("--use-blurred-mask", action="store_true")
     tp.add_argument("--opts", nargs="*", default=None,
                     help="KEY VALUE pairs overriding config entries")

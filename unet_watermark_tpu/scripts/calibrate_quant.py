@@ -47,8 +47,11 @@ def calibration_batches(workdir: str, n_images: int, img_size: int,
     root = os.path.join(workdir, "calib_set")
     wm_dir = os.path.join(root, "watermarked")
     if not (os.path.isdir(wm_dir) and len(os.listdir(wm_dir)) >= n_images):
+        # 50/50 smooth+textured — the round-4 training distribution, so
+        # activation amax covers textured inputs too (docs/QUALITY.md).
         generate_clean_dataset(clean_src, count=max(8, n_images // 2),
-                               size=img_size, seed=CALIB_CLEAN_SEED)
+                               size=img_size, seed=CALIB_CLEAN_SEED,
+                               texture_ratio=0.5)
         generate_logo_set(logos, count=8, seed=CALIB_CLEAN_SEED + 1)
         generate_dataset(clean_src, root, logos_dir=logos, count=n_images,
                          seed=CALIB_COMPOSE_SEED)

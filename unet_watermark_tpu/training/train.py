@@ -311,12 +311,17 @@ def save_training_plots(history: Dict[str, list], output_dir: str) -> None:
 def train(cfg: Config, resume_from: Optional[str] = None,
           use_blurred_mask: bool = False,
           train_ds=None, val_ds=None,
-          max_steps_per_epoch: Optional[int] = None) -> Dict[str, Any]:
+          max_steps_per_epoch: Optional[int] = None,
+          init_weights: Optional[str] = None) -> Dict[str, Any]:
     """Analog of /root/reference/src/train.py:207-515.
 
     Returns a summary dict with best_val_loss, history, checkpoint paths.
     train_ds/val_ds may be injected (tests, auto-train); otherwise built
     from cfg.DATA.
+
+    init_weights: optional .npz (shipped-weights format) to warm-start
+    the parameters from — fine-tuning, as opposed to resume_from which
+    restores the full optimizer/history state.
     """
     mesh = mesh_from_config(cfg)
     logger.info("mesh: %s", mesh)
@@ -325,6 +330,13 @@ def train(cfg: Config, resume_from: Optional[str] = None,
     train_pipe, val_pipe = make_pipelines(cfg, train_ds, val_ds, mesh=mesh)
 
     model, state = create_train_state(cfg, seed=cfg.DATA.SEED)
+    if init_weights:
+        from ..utils.shipping import load_params_npz
+        loaded = load_params_npz(init_weights, {"params": state.params})
+        state = state.replace(params=jax.tree.map(
+            lambda new, old: jnp.asarray(new, old.dtype),
+            loaded["params"], state.params))
+        logger.info("warm-started params from %s", init_weights)
     loss_fn = losses_lib.get_loss_function(cfg)
     policy = cfg.DATA.AUGMENTATION_TYPE
     if policy not in aug.POLICIES:
