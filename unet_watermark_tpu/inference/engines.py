@@ -58,6 +58,21 @@ def load_lama_variables(weights_path: str, variant: str = "lama"):
     from ..models.lama import create_lama, init_lama
     from ..utils.shipping import load_variables
 
+    if weights_path.endswith((".pt", ".pth", ".ckpt")):
+        # public big-lama torch checkpoint (the file the reference's
+        # iopaint downloads at runtime, predict.py:771-777) — route to
+        # the faithful-structure importer (models/lama_import.py)
+        from ..models.lama_import import load_big_lama
+        try:
+            model, variables, _ = load_big_lama(weights_path)
+            logger.info("imported big-lama torch checkpoint %s",
+                        weights_path)
+            return model, variables, "big-lama-torch"
+        except Exception as e:  # noqa: BLE001 — fall through to warning
+            logger.warning("torch inpaint checkpoint %s failed to import "
+                           "as big-lama: %s", weights_path, e)
+            return None, None, None
+
     for cand in dict.fromkeys((variant, "lama", "big-lama")):
         m = create_lama(cand)
         try:

@@ -16,10 +16,11 @@ Architecture (big-lama generator):
   head   = 7x7 conv → 3ch, sigmoid; composited: out*mask + image*(1-mask)
 
 bf16 for convs, fp32 for the FFT path (spectral precision matters).
-Weights train from scratch via training/train_inpaint.py — there is no
-checkpoint import path because LaMa's torch weights are not shipped with
-the reference either (it downloads them at runtime, which a zero-egress
-TPU pod cannot).
+Weights train from scratch via training/train_inpaint.py. Users who have
+the public big-lama torch checkpoint (the file the reference's iopaint
+downloads at runtime) can import it instead: point
+PREDICT_INPAINT_WEIGHTS at the .ckpt/.pt and the engine registry routes
+it through models/lama_import.py's faithful-structure generator.
 """
 from __future__ import annotations
 
