@@ -15,6 +15,8 @@ from flax import linen as nn
 
 from .encoders import get_encoder, get_encoder_channels, available_encoders
 from .unet import (
+    LaneAlignedDecoder,
+    PixelShuffleHead,
     SegmentationHead,
     SMPUnetPlusPlusDecoder,
     UnetDecoder,
@@ -54,8 +56,18 @@ class SegmentationModel(nn.Module):
                                 self.dtype, self.fused, self.decoder_impl,
                                 remat=self.remat)
         y = decoder.copy(name="decoder")(feats, train)
-        y = SegmentationHead(classes=self.classes, activation=self.activation,
-                             dtype=self.dtype, name="segmentation_head")(y)
+        if self.arch.lower() == "unettpu":
+            # lane-aligned tier: decoder stops at 1/4 res; the head is a
+            # ×4 pixel shuffle so no conv runs at full resolution
+            y = PixelShuffleHead(classes=self.classes, ratio=4,
+                                 activation=self.activation,
+                                 dtype=self.dtype,
+                                 name="segmentation_head")(y)
+        else:
+            y = SegmentationHead(classes=self.classes,
+                                 activation=self.activation,
+                                 dtype=self.dtype,
+                                 name="segmentation_head")(y)
         return y
 
 
@@ -67,6 +79,12 @@ def _make_decoder(arch: str, decoder_channels: Sequence[int], dtype: Dtype,
         cls = UnetDecoder
         kwargs = dict(decoder_channels=tuple(decoder_channels),
                       dtype=dtype, fused=fused)
+    elif arch_l == "unettpu":
+        # TPU-native lane-aligned tier: fixed ≥64-channel stage plan (the
+        # decoder_channels knob describes the SMP 5-stage contract, which
+        # this decoder intentionally abandons — docs/PERFORMANCE.md)
+        cls = LaneAlignedDecoder
+        kwargs = dict(dtype=dtype)
     elif arch_l in ("unetplusplus", "unet++"):
         cls = (SMPUnetPlusPlusDecoder if decoder_impl == "smp"
                else UnetPlusPlusDecoder)
@@ -87,8 +105,11 @@ def _make_decoder(arch: str, decoder_channels: Sequence[int], dtype: Dtype,
     return cls(**kwargs)
 
 
-# Mirrors /root/reference/src/models/unet_model.py:17-27.
+# Mirrors /root/reference/src/models/unet_model.py:17-27, plus the
+# TPU-native UnetTPU tier (not in the reference: lane-aligned decoder +
+# pixel-shuffle head, the round-5 performance architecture).
 SUPPORTED_MODELS = {
+    "UnetTPU": "TPU lane-aligned U-Net: ≥64ch stages, ×4 sub-pixel head",
     "Unet": "U-Net encoder-decoder with skip connections",
     "UnetPlusPlus": "UNet++ nested dense skip connections",
     "MAnet": "Multi-scale attention network",

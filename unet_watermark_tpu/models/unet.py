@@ -370,6 +370,102 @@ class SMPUnetPlusPlusDecoder(nn.Module):
                                                  train)
 
 
+def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
+    """Depth-to-space (ESPCN sub-pixel head, Shi et al. 2016): move r²
+    channel groups into an r×r spatial block. A reshape+transpose on a
+    LOW-resolution tensor — the TPU-native alternative to running any
+    conv at the full output resolution."""
+    n, h, w, c = x.shape
+    cout = c // (r * r)
+    x = x.reshape(n, h, w, r, r, cout)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h * r, w * r, cout)
+
+
+class PixelShuffleHead(nn.Module):
+    """Segmentation head that predicts r²·classes channels at 1/r of the
+    output resolution and pixel-shuffles up — no conv ever runs at the
+    full resolution. Output contract matches SegmentationHead
+    ((N, r·H, r·W, classes) fp32 logits)."""
+
+    classes: int = 1
+    ratio: int = 4
+    activation: Optional[str] = None
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.classes * self.ratio ** 2, (3, 3),
+                    padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                    name="conv")(x)
+        x = pixel_shuffle(x.astype(jnp.float32), self.ratio)
+        if self.activation == "sigmoid":
+            x = nn.sigmoid(x)
+        elif self.activation == "softmax":
+            x = nn.softmax(x, axis=-1)
+        elif self.activation not in (None, "identity"):
+            raise ValueError(f"unsupported activation {self.activation}")
+        return x
+
+
+class LaneAlignedDecoder(nn.Module):
+    """TPU-native segmentation decoder: every conv ≥64 output channels,
+    nothing runs above 1/4 of the input resolution.
+
+    The round-4 per-kernel trace (docs/PERFORMANCE.md "Where the time
+    goes") showed the SMP-contract decoders spend their time in exactly
+    the stages that cannot use the MXU: 32-channel convs at 256² (1/4 of
+    the 128 lanes) and 16-channel convs at 512² (1/8). This decoder is
+    the redesign: the upsampling path stops at 128² with 128-channel
+    (lane-full) stages, the stride-2 skip (256², 64ch) joins DOWN at 128²
+    through a strided conv instead of pulling the decoder UP to 256², and
+    the head is a ×4 pixel shuffle (PixelShuffleHead) so the 512² mask is
+    assembled by a reshape, not a conv. Stage math reuses the fused
+    lhs-dilated up-convs (FusedUpConvBnRelu), so the int8 PTQ tier and
+    calibration ride along unchanged.
+
+    Structure (resnet34 feature contract: [id, s2:64, s4:64, s8:128,
+    s16:256, s32:512]):
+        block0: 16² 512 →up→ 32², skip s16 → 256ch
+        block1: 32² 256 →up→ 64², skip s8  → 128ch
+        block2: 64² 128 →up→ 128², skip s4 → 128ch
+        skip2_reduce: s2 (256², 64) → stride-2 conv → 128² 64ch
+        fuse:   concat(block2, skip2_reduce) → 128ch ×2 convs @128²
+    Output: (N, H/4, W/4, fuse_channels) — pair with PixelShuffleHead.
+    """
+
+    stage_channels: Sequence[int] = (256, 128, 128)
+    fuse_channels: int = 128
+    skip2_channels: int = 64
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats: List[jax.Array], train: bool = False):
+        from ..ops.quant import QConv
+
+        # feats: [identity, s2, s4, s8, s16, s32]
+        x = feats[5]
+        skips = [feats[4], feats[3], feats[2]]
+        for i, ch in enumerate(self.stage_channels):
+            x = FusedUpConvBnRelu(ch, dtype=self.dtype, up_first=True,
+                                  name=f"block{i}_conv1")(x, skips[i], train)
+            x = ConvBnRelu(ch, dtype=self.dtype,
+                           name=f"block{i}_conv2")(x, train)
+        s2 = QConv(self.skip2_channels, (3, 3), strides=(2, 2),
+                   padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                   name="skip2_reduce")(feats[1].astype(self.dtype))
+        s2 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, dtype=self.dtype,
+                          name="skip2_bn")(s2)
+        s2 = nn.relu(s2)
+        x = jnp.concatenate([x, s2], axis=-1)
+        x = ConvBnRelu(self.fuse_channels, dtype=self.dtype,
+                       name="fuse_conv1")(x, train)
+        x = ConvBnRelu(self.fuse_channels, dtype=self.dtype,
+                       name="fuse_conv2")(x, train)
+        return x
+
+
 class SegmentationHead(nn.Module):
     """3x3 conv head → `classes` logits (SMP SegmentationHead analog)."""
 

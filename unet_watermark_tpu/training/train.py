@@ -332,10 +332,16 @@ def train(cfg: Config, resume_from: Optional[str] = None,
     model, state = create_train_state(cfg, seed=cfg.DATA.SEED)
     if init_weights:
         from ..utils.shipping import load_params_npz
-        loaded = load_params_npz(init_weights, {"params": state.params})
-        state = state.replace(params=jax.tree.map(
-            lambda new, old: jnp.asarray(new, old.dtype),
-            loaded["params"], state.params))
+        try:
+            loaded = load_params_npz(init_weights, {"params": state.params})
+        except KeyError:
+            # cross-architecture warm start (e.g. UnetTPU from the shipped
+            # Unet checkpoint): take every matching leaf (the shared
+            # resnet34 encoder), keep fresh init for the rest
+            loaded = load_params_npz(init_weights, {"params": state.params},
+                                     partial=True)
+        # load_params_npz already casts each leaf to the template dtype
+        state = state.replace(params=loaded["params"])
         logger.info("warm-started params from %s", init_weights)
     loss_fn = losses_lib.get_loss_function(cfg)
     policy = cfg.DATA.AUGMENTATION_TYPE

@@ -154,10 +154,14 @@ def save_params_npz(path: str, tree: Any, dtype=jnp.bfloat16) -> str:
     return path
 
 
-def load_params_npz(path: str, template: Any) -> Any:
+def load_params_npz(path: str, template: Any, partial: bool = False) -> Any:
     """Load a .npz written by save_params_npz back into `template`'s
     structure, casting each leaf to the template leaf's dtype. Raises
-    KeyError if the stored keys do not cover the template."""
+    KeyError if the stored keys do not cover the template — unless
+    partial=True, which keeps the template leaf for any missing or
+    shape-mismatched key (cross-architecture warm starts, e.g. seeding
+    UnetTPU's resnet34 encoder from the shipped Unet checkpoint) and
+    logs how much loaded."""
     data = np.load(path)
     stored = {}
     for k in data.files:
@@ -167,14 +171,23 @@ def load_params_npz(path: str, template: Any) -> Any:
             stored[k] = jnp.asarray(data[k])
     leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
     new_leaves = []
+    n_loaded = 0
     for p, leaf in leaves_with_path:
         k = _keystr(p)
-        if k not in stored:
-            raise KeyError(f"missing weight '{k}' in {path}")
+        if k not in stored or (partial
+                               and stored[k].shape != leaf.shape):
+            if not partial:
+                raise KeyError(f"missing weight '{k}' in {path}")
+            new_leaves.append(leaf)
+            continue
         v = stored[k]
         if v.shape != leaf.shape:
             raise ValueError(
                 f"shape mismatch for '{k}': stored {v.shape} vs "
                 f"template {leaf.shape}")
         new_leaves.append(v.astype(leaf.dtype))
+        n_loaded += 1
+    if partial:
+        logger.info("partial load from %s: %d/%d leaves", path,
+                    n_loaded, len(new_leaves))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
