@@ -203,12 +203,29 @@ class QConv(nn.Module):
         return y
 
 
-def save_scales(path: str, scales: Dict[str, float]) -> None:
+def save_scales(path: str, scales: Dict[str, float],
+                meta: Optional[Dict[str, str]] = None) -> None:
+    """Write the calibration sidecar. `meta` entries land under
+    "__"-prefixed keys (e.g. __weights_sha256__ binds the sidecar to the
+    exact checkpoint it was calibrated for — round 3's red gate was a
+    sidecar/checkpoint mismatch; scripts/ship_gate.py enforces it)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    out: Dict[str, Any] = dict(sorted(scales.items()))
+    for k, v in (meta or {}).items():
+        out[f"__{k.strip('_')}__"] = v
     with open(path, "w") as f:
-        json.dump(dict(sorted(scales.items())), f, indent=1)
+        json.dump(out, f, indent=1)
 
 
 def load_scales(path: str) -> Dict[str, float]:
     with open(path) as f:
-        return {str(k): float(v) for k, v in json.load(f).items()}
+        return {str(k): float(v) for k, v in json.load(f).items()
+                if not str(k).startswith("__")}
+
+
+def load_sidecar_meta(path: str) -> Dict[str, str]:
+    """The "__"-prefixed metadata entries of a calibration sidecar
+    (empty for pre-round-5 sidecars)."""
+    with open(path) as f:
+        return {str(k).strip("_"): str(v) for k, v in json.load(f).items()
+                if str(k).startswith("__")}

@@ -42,9 +42,12 @@ def calibration_batches(workdir: str, n_images: int, img_size: int,
     from ..data.synth_clean import generate_clean_dataset, generate_logo_set
     from ..ops.augment import IMAGENET_MEAN, IMAGENET_STD
 
-    clean_src = os.path.join(workdir, "calib_clean")
+    clean_src = os.path.join(workdir, "calib_clean_v2")
     logos = os.path.join(workdir, "calib_logos")
-    root = os.path.join(workdir, "calib_set")
+    # v2: 50/50 smooth+textured calibration distribution. Versioned dir
+    # so a pre-existing smooth-only calib_set (round 3) cannot silently
+    # satisfy the count guard and recalibrate on the old distribution.
+    root = os.path.join(workdir, "calib_set_v2")
     wm_dir = os.path.join(root, "watermarked")
     if not (os.path.isdir(wm_dir) and len(os.listdir(wm_dir)) >= n_images):
         # 50/50 smooth+textured — the round-4 training distribution, so
@@ -109,9 +112,22 @@ def calibrate(model_name: str = "Unet", encoder: str = "resnet34",
         raise RuntimeError("observe pass recorded no conv paths — does the "
                            "model route convs through conv2d_maybe_quant?")
     sidecar = out or quant_sidecar_path(path)
-    quant.save_scales(sidecar, store)
+    # bind the sidecar to the exact checkpoint (round 3's red shipping
+    # gate was a sidecar/checkpoint mismatch; ship_gate.py verifies this)
+    quant.save_scales(sidecar, store,
+                      meta={"weights_sha256": file_sha256(path)})
     logger.info("wrote %d scales to %s", len(store), sidecar)
     return sidecar
+
+
+def file_sha256(path: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
 
 
 def quant_sidecar_path(weights_path: str) -> str:
