@@ -38,7 +38,9 @@ def main():
             r = eval_segmentation(root, args.limit, weights=weights,
                                   model_name=args.model,
                                   encoder=args.encoder)
-            out[tier][tag] = r.get("raw", r)
+            if "error" in r:
+                sys.exit(f"{tier}/{tag}: {r['error']}")
+            out[tier][tag] = r["raw"]
     smooth_ok = (out["smooth"]["candidate"]["iou"]
                  >= out["smooth"]["shipped"]["iou"] - 0.02)
     tex_ok = (out["textured"]["candidate"]["iou"]
