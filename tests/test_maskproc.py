@@ -228,3 +228,20 @@ def test_batch_partitioned_tight_mode():
     np.testing.assert_array_equal(out_p[1], out_t[1])
     assert out_t[0].sum() <= out_p[0].sum()
     assert out_t[2].sum() <= out_p[2].sum()
+
+
+# mask-mode resolution (PREDICT.MASK_MODE="auto", round 5)
+
+def test_resolve_mask_mode_auto_splits_surfaces():
+    assert maskproc.resolve_mask_mode("auto", "artifact") == "parity"
+    assert maskproc.resolve_mask_mode("auto", "repair") == "tight"
+    # explicit modes apply to both surfaces unchanged
+    for mode in ("parity", "tight"):
+        for surface in ("artifact", "repair"):
+            assert maskproc.resolve_mask_mode(mode, surface) == mode
+
+
+def test_config_default_mask_mode_is_auto():
+    from unet_watermark_tpu.configs import get_cfg_defaults
+
+    assert get_cfg_defaults().PREDICT.MASK_MODE == "auto"

@@ -169,8 +169,13 @@ class PredictConfig:
     # (/root/reference/src/predict.py:231-272, over-covering by design),
     # "tight" = precision-preserving chain that keeps multi-component
     # marks (inference/maskproc.optimize_watermark_mask_tight; measured
-    # on the frozen protocol in docs/QUALITY.md)
-    MASK_MODE: str = "parity"
+    # on the frozen protocol in docs/QUALITY.md), "auto" = parity for
+    # mask ARTIFACTS (behavioral parity with the reference's outputs)
+    # but tight for the REPAIR path — round-5 measurement: the parity
+    # chain's over-coverage repaints clean texture and lands repair
+    # below the no-op floor on natural-statistics content (QUALITY.md
+    # textured e2e table), while tight holds both tiers.
+    MASK_MODE: str = "auto"
 
 
 @dataclass

@@ -77,6 +77,22 @@ def optimize_watermark_mask_tight(mask: Array) -> Array:
     return m.threshold_binary(x, 0.5)
 
 
+def resolve_mask_mode(mode: str, surface: str) -> str:
+    """Resolve PREDICT.MASK_MODE for one of the two consumer surfaces.
+
+    "auto" (the round-5 default) keeps the reference's cv2-parity chain
+    for mask ARTIFACTS (surface="artifact": the step-1/step-3 mask files
+    a reference user diffs against) but uses the precision-preserving
+    tight chain for the REPAIR path (surface="repair": the mask that
+    decides which pixels get repainted) — the parity chain's deliberate
+    over-coverage repaints clean texture and measures below the no-op
+    floor on the textured protocol tier (docs/QUALITY.md e2e tables).
+    Explicit "parity"/"tight" apply to both surfaces unchanged."""
+    if mode != "auto":
+        return mode
+    return "tight" if surface == "repair" else "parity"
+
+
 def optimize_mask(mask: Array, mask_type: str = "watermark",
                   mode: str = "parity") -> Array:
     """Dispatch like predict.py:161-186. mask: (H,W) float {0,1}.

@@ -276,8 +276,10 @@ class WatermarkPredictor:
             return (mask_bin * 255).astype(np.uint8)
         # optimize on device at the original (padded) resolution
         padded, (h, w) = pad_to_multiple(mask_bin, 32)
-        opt = maskproc.optimize_mask(jnp.asarray(padded), mask_type,
-                                     mode=self.cfg.PREDICT.MASK_MODE)
+        opt = maskproc.optimize_mask(
+            jnp.asarray(padded), mask_type,
+            mode=maskproc.resolve_mask_mode(self.cfg.PREDICT.MASK_MODE,
+                                            "artifact"))
         if self.cfg.PREDICT.EDGE_REFINEMENT:
             # soften + re-threshold against the prob map so edges follow
             # the network's confidence rather than morphology artifacts
@@ -409,7 +411,9 @@ class WatermarkPredictor:
                 types.append(maskproc.classify_type(score))
             codes = [maskproc.type_code(t) for t in types]
             opt = maskproc.optimize_mask_batch_partitioned(
-                masks_bin, codes, mode=self.cfg.PREDICT.MASK_MODE)
+                masks_bin, codes,
+                mode=maskproc.resolve_mask_mode(
+                    self.cfg.PREDICT.MASK_MODE, "artifact"))
             opt = self._apply_predict_flags_batch(opt, probs)
 
             for j, p in enumerate(ok_paths):
@@ -499,8 +503,10 @@ class WatermarkPredictor:
         mask_type = maskproc.classify_type(score)
 
         padded, (h, w) = pad_to_multiple(mask_bin, 32)
-        opt = maskproc.optimize_mask(jnp.asarray(padded), mask_type,
-                                     mode=self.cfg.PREDICT.MASK_MODE)
+        opt = maskproc.optimize_mask(
+            jnp.asarray(padded), mask_type,
+            mode=maskproc.resolve_mask_mode(self.cfg.PREDICT.MASK_MODE,
+                                            "artifact"))
         probs_pad, _ = pad_to_multiple(probs_full.astype(np.float32), 32)
         opt = self._apply_predict_flags_batch(
             np.asarray(opt)[None], probs_pad[None])[0]
@@ -768,7 +774,8 @@ class WatermarkPredictor:
                     (out > 127).astype(np.float32), 32)
                 opt = maskproc.optimize_mask(
                     jnp.asarray(padded), "watermark",
-                    mode=self.cfg.PREDICT.MASK_MODE)
+                    mode=maskproc.resolve_mask_mode(
+                        self.cfg.PREDICT.MASK_MODE, "repair"))
                 out_u8 = (np.asarray(opt)[:h, :w] * 255).astype(np.uint8)
                 merged_path = os.path.join(merged_mask_output_folder,
                                            f"{stem}.png")
@@ -956,8 +963,10 @@ class WatermarkPredictor:
                 logger.warning("fused repair: no trained weights for '%s' "
                                "— using pushpull fill", inpaint_engine)
 
+        repair_mode = maskproc.resolve_mask_mode(
+            self.cfg.PREDICT.MASK_MODE, "repair")
         optimize = (maskproc.optimize_watermark_mask_tight
-                    if self.cfg.PREDICT.MASK_MODE == "tight"
+                    if repair_mode == "tight"
                     else maskproc.optimize_watermark_mask)
 
         @jax.jit

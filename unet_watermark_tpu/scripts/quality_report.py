@@ -406,10 +406,11 @@ def build_report(workdir: str, limit: int = 64,
                                              textured=textured)
         logger.info("[%s] e2e repair eval", tier)
         tr["e2e_repair"] = eval_e2e_repair(root, limit, img_size=img_size)
-        if textured:
-            logger.info("[%s] e2e repair eval (tight mask mode)", tier)
-            tr["e2e_repair_tight"] = eval_e2e_repair(
-                root, limit, img_size=img_size, mask_mode="tight")
+        # tight-mode e2e on BOTH tiers (round 5): the pair of tables is
+        # what qualifies PREDICT.MASK_MODE="auto"'s repair-path default
+        logger.info("[%s] e2e repair eval (tight mask mode)", tier)
+        tr["e2e_repair_tight"] = eval_e2e_repair(
+            root, limit, img_size=img_size, mask_mode="tight")
         report[tier] = tr
     # backwards-compatible aliases (round-3 consumers read the flat keys)
     if "smooth" in report:
