@@ -175,6 +175,7 @@ def test_auto_train_single_cycle(workspace):
         batch_size=4, output_dir="auto_out", samples=4,
         prediction_limit=2, generate_video=True, inpaint_model="pushpull",
         heldout_eval_dir=str(workspace / "data" / "train"),
+        heldout_eval_tex_dir=str(workspace / "data" / "train"),
         heldout_eval_limit=2)
     loop = AutoTrainingLoop(ac, base_cfg=cfg)
     report = loop.run_all_cycles()
@@ -192,6 +193,9 @@ def test_auto_train_single_cycle(workspace):
     assert held["error"] is None
     assert held["n_images"] == 2
     assert 0.0 <= held["raw"]["iou"] <= 1.0
+    # round 5: both tiers reported per cycle (heldout_eval_tex_dir)
+    for tier in ("smooth", "textured"):
+        assert 0.0 <= held[tier]["raw"]["iou"] <= 1.0
 
 
 def test_cli_repair_with_video(workspace, tmp_path):

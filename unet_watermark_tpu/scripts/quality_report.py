@@ -359,14 +359,25 @@ def build_report(workdir: str, limit: int = 64,
                  seg_configs: Optional[List[Dict]] = None,
                  img_size: int = IMG_SIZE,
                  tiers: Optional[List[str]] = None) -> Dict:
-    seg_configs = seg_configs or [
-        {"model_name": "UnetPlusPlus", "encoder": "resnet34"},
-        {"model_name": "Unet", "encoder": "resnet34"},
-        # int8 PTQ tiers ride along automatically when a calibrated
-        # sidecar ships next to the weights (scripts/calibrate_quant.py)
-        {"model_name": "UnetPlusPlus", "encoder": "resnet34", "quant": True},
-        {"model_name": "Unet", "encoder": "resnet34", "quant": True},
-    ]
+    if seg_configs is None:
+        seg_configs = [
+            {"model_name": "UnetPlusPlus", "encoder": "resnet34"},
+            {"model_name": "Unet", "encoder": "resnet34"},
+            # int8 PTQ tiers ride along automatically when a calibrated
+            # sidecar ships next to the weights (scripts/calibrate_quant.py)
+            {"model_name": "UnetPlusPlus", "encoder": "resnet34",
+             "quant": True},
+            {"model_name": "Unet", "encoder": "resnet34", "quant": True},
+        ]
+        # UnetTPU lane-aligned tier rows once its weights ship (round 5)
+        from ..utils.shipping import weights_dir
+        if os.path.exists(os.path.join(weights_dir(),
+                                       "seg_unettpu_resnet34.npz")):
+            seg_configs += [
+                {"model_name": "UnetTPU", "encoder": "resnet34"},
+                {"model_name": "UnetTPU", "encoder": "resnet34",
+                 "quant": True},
+            ]
     tiers = tiers or ["smooth", "textured"]
     report: Dict = {
         "protocol": {"clean_seed": CLEAN_SEED, "compose_seed": COMPOSE_SEED,
@@ -384,11 +395,10 @@ def build_report(workdir: str, limit: int = 64,
         root = ensure_frozen_set(workdir, n=limit, img_size=img_size,
                                  textured=textured)
         tr: Dict = {"segmentation": {}}
-        # int8 rows only on the primary (smooth) tier — the PTQ
-        # qualification; the textured tier's question is engine ranking
-        configs = seg_configs if not textured else [
-            sc for sc in seg_configs if not sc.get("quant")]
-        for sc in configs:
+        # int8 rows on BOTH tiers (round 5): with mixed-corpus weights
+        # the PTQ qualification must hold the textured tier too — the
+        # round-4 headline was only "quality-qualified" on smooth
+        for sc in seg_configs:
             key = f"{sc['model_name'].lower()}_{sc['encoder']}"
             if sc.get("quant"):
                 key += "_int8"

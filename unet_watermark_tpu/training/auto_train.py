@@ -55,6 +55,10 @@ class AutoTrainConfig:
     # the reference only eyeballs videos (auto_train.py:258-304).
     heldout_eval_dir: str = ""
     heldout_eval_limit: int = 32
+    # round 5: second (textured-tier) held-out dir — when set, step 6
+    # reports both tiers per cycle so the loop's movement on the hard
+    # (natural-statistics) distribution is visible, not just smooth IoU
+    heldout_eval_tex_dir: str = ""
 
 
 class AutoTrainingLoop:
@@ -200,14 +204,23 @@ class AutoTrainingLoop:
             ckpt = best if os.path.isdir(os.path.join(best, "tree")) else None
         if not ckpt:
             return None
-        res = eval_segmentation(
-            root, limit=self.config.heldout_eval_limit,
-            weights=ckpt, model_name=self.cfg.MODEL.NAME,
-            encoder=self.cfg.MODEL.ENCODER_NAME,
-            img_size=self.cfg.DATA.IMG_SIZE)
-        return {"checkpoint": ckpt, "n_images": res.get("n_images"),
-                "raw": res.get("raw"), "pipeline": res.get("pipeline"),
-                "error": res.get("error")}
+        out: Dict = {"checkpoint": ckpt}
+        tiers = [("smooth", root)]
+        if self.config.heldout_eval_tex_dir:
+            tiers.append(("textured", self.config.heldout_eval_tex_dir))
+        for tier, tier_root in tiers:
+            res = eval_segmentation(
+                tier_root, limit=self.config.heldout_eval_limit,
+                weights=ckpt, model_name=self.cfg.MODEL.NAME,
+                encoder=self.cfg.MODEL.ENCODER_NAME,
+                img_size=self.cfg.DATA.IMG_SIZE)
+            out[tier] = {"n_images": res.get("n_images"),
+                         "raw": res.get("raw"),
+                         "pipeline": res.get("pipeline"),
+                         "error": res.get("error")}
+        # backwards-compatible flat keys (round-3/4 consumers)
+        out.update(out["smooth"])
+        return out
 
     # ------------------------------------------------------------------
     def run_cycle(self, cycle: int) -> Dict:
