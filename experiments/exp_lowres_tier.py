@@ -35,7 +35,7 @@ import numpy as np  # noqa: E402
 WORK = "/root/repo/workspace/quality"
 LIMIT = 64
 BATCH = 128
-RESOLUTIONS = (384, 320)
+RESOLUTIONS = (384,)   # @320 measured ~10pt IoU cost in round 4 — dismissed
 CONFIGS = (
     # (model, quant)
     ("Unet", True),
@@ -49,7 +49,8 @@ TIMING_CONFIGS = (("Unet", True),)
 TIMING_RESOLUTIONS = (384,)
 
 
-def eval_lowres_quality(model_name: str, res: int, quant: bool) -> dict:
+def eval_lowres_quality(model_name: str, res: int, quant: bool,
+                        textured: bool = False) -> dict:
     """Held-out raw IoU/F1 measured at 512 GT after the product's
     downscale -> forward -> prob-upscale round trip."""
     import cv2
@@ -92,7 +93,7 @@ def eval_lowres_quality(model_name: str, res: int, quant: bool) -> dict:
         norm = (x01 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
         return jax.nn.sigmoid(apply_model(norm)[..., 0])
 
-    root = ensure_frozen_set(WORK, n=LIMIT)
+    root = ensure_frozen_set(WORK, n=LIMIT, textured=textured)
     nonlocal_vals = [0.0, 0.0, 0.0]   # tp, fp, fn
     buf_small, buf_gt = [], []
 
@@ -202,12 +203,16 @@ def main():
     print("device:", jax.devices()[0].device_kind, flush=True)
 
     if not args.timing_only:
+        # round-5: qualify on BOTH frozen protocol tiers (the round-4
+        # qualification was smooth-only — VERDICT r4 task 8)
         for model_name, quant in CONFIGS:
             tag = f"{model_name}{'-int8' if quant else '-bf16'}"
             for res in RESOLUTIONS:
-                q = eval_lowres_quality(model_name, res, quant)
-                print(f"{tag} @{res}: held-out raw IoU {q['iou']:.4f} "
-                      f"F1 {q['f1']:.4f}", flush=True)
+                for tier in ("smooth", "textured"):
+                    q = eval_lowres_quality(model_name, res, quant,
+                                            textured=tier == "textured")
+                    print(f"{tag} @{res} [{tier}]: held-out raw IoU "
+                          f"{q['iou']:.4f} F1 {q['f1']:.4f}", flush=True)
     if not args.quality_only:
         for model_name, quant in TIMING_CONFIGS:
             tag = f"{model_name}{'-int8' if quant else '-bf16'}"

@@ -52,7 +52,7 @@ def test_no_full_resolution_convs():
             assert leaf.shape[-1] >= 64, (keys, leaf.shape)
     # head conv runs at 1/4 resolution with r²·classes outputs
     head = variables["params"]["segmentation_head"]["conv"]["kernel"]
-    assert head.shape == (3, 3, 128, 16)
+    assert head.shape == (3, 3, 64, 16)
 
 
 def test_grads_flow_and_train_mode():

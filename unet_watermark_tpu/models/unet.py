@@ -425,17 +425,30 @@ class LaneAlignedDecoder(nn.Module):
     calibration ride along unchanged.
 
     Structure (resnet34 feature contract: [id, s2:64, s4:64, s8:128,
-    s16:256, s32:512]):
-        block0: 16² 512 →up→ 32², skip s16 → 256ch
+    s16:256, s32:512]), default (slim) plan:
+        block0: 16² 512 →up→ 32², skip s16 → 256ch (+1 refine conv)
         block1: 32² 256 →up→ 64², skip s8  → 128ch
-        block2: 64² 128 →up→ 128², skip s4 → 128ch
+        block2: 64² 128 →up→ 128², skip s4 → 64ch
         skip2_reduce: s2 (256², 64) → stride-2 conv → 128² 64ch
-        fuse:   concat(block2, skip2_reduce) → 128ch ×2 convs @128²
+        fuse:   concat(block2, skip2_reduce) → 64ch conv @128²
     Output: (N, H/4, W/4, fuse_channels) — pair with PixelShuffleHead.
+
+    The first plan shipped fat — stages (256,128,128), double convs
+    everywhere, fuse 128×2 — and its on-chip probe
+    (experiments/exp_unettpu_probe.log, round 5) measured 77.4% MFU
+    bf16 but 77.6 GF/img, landing int8 at 2,770 img/s: BELOW the
+    shipped 54.5 GF Unet (2,911). Lesson: lane alignment fixes the
+    utilization axis, but the FLOP budget still has to match the
+    baseline. This slim plan holds the lane invariants (≥64ch, nothing
+    above 1/4 res) at Unet-equal ~54 GF/img, so the measured MFU gap
+    converts into throughput instead of being spent on extra capacity.
+    `stage_refine[i]` appends a 3×3 refine conv after stage i — only
+    the 32² stage keeps one (1.2 GF; at 128² it would cost 4.8).
     """
 
-    stage_channels: Sequence[int] = (256, 128, 128)
-    fuse_channels: int = 128
+    stage_channels: Sequence[int] = (256, 128, 64)
+    stage_refine: Sequence[bool] = (True, False, False)
+    fuse_channels: int = 64
     skip2_channels: int = 64
     dtype: Dtype = jnp.bfloat16
 
@@ -449,8 +462,9 @@ class LaneAlignedDecoder(nn.Module):
         for i, ch in enumerate(self.stage_channels):
             x = FusedUpConvBnRelu(ch, dtype=self.dtype, up_first=True,
                                   name=f"block{i}_conv1")(x, skips[i], train)
-            x = ConvBnRelu(ch, dtype=self.dtype,
-                           name=f"block{i}_conv2")(x, train)
+            if self.stage_refine[i]:
+                x = ConvBnRelu(ch, dtype=self.dtype,
+                               name=f"block{i}_conv2")(x, train)
         s2 = QConv(self.skip2_channels, (3, 3), strides=(2, 2),
                    padding=[(1, 1), (1, 1)], dtype=self.dtype,
                    name="skip2_reduce")(feats[1].astype(self.dtype))
@@ -461,8 +475,6 @@ class LaneAlignedDecoder(nn.Module):
         x = jnp.concatenate([x, s2], axis=-1)
         x = ConvBnRelu(self.fuse_channels, dtype=self.dtype,
                        name="fuse_conv1")(x, train)
-        x = ConvBnRelu(self.fuse_channels, dtype=self.dtype,
-                       name="fuse_conv2")(x, train)
         return x
 
 
