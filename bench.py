@@ -136,6 +136,12 @@ def main():
                 best_rate, best_batch = rate, batch
         return best_rate, best_batch
 
+    def shipped_weights_exist(name):
+        from unet_watermark_tpu.utils.shipping import resolve
+        cfg = get_cfg_defaults()
+        cfg.MODEL.NAME = name
+        return bool(resolve("seg", cfg=cfg))
+
     # quality tier: UNet++ (the reference's flagship architecture)
     pp_rate, pp_batch = sweep("UnetPlusPlus", 105.4, (32, 128))
     log(f"UnetPlusPlus best: batch {pp_batch} at {pp_rate:.1f} img/s "
@@ -151,10 +157,25 @@ def main():
     q_rate, q_batch = sweep("Unet", 54.5, (128,), quant=True)
     if q_rate:
         log(f"Unet int8 tier: batch {q_batch} at {q_rate:.1f} img/s")
+    # UnetTPU lane-aligned tier (LaneAlignedDecoder + pixel-shuffle head,
+    # 44.3 GF/img): counted toward the headline only once its weights ship
+    # quality-qualified (experiments/run_unettpu_gate.py two-tier rule)
+    tpu_rate = tq_rate = 0.0
+    if shipped_weights_exist("UnetTPU"):
+        tpu_rate, tpu_batch = sweep("UnetTPU", 44.3, (128,))
+        log(f"UnetTPU lane-aligned tier: batch {tpu_batch} at "
+            f"{tpu_rate:.1f} img/s")
+        tq_rate, tq_batch = sweep("UnetTPU", 44.3, (128,), quant=True)
+        if tq_rate:
+            log(f"UnetTPU int8 tier: batch {tq_batch} at {tq_rate:.1f} img/s")
+    else:
+        log("UnetTPU tier skipped: no shipped weights")
     img_per_s, tier = max(
         (pp_rate, "UNet++/resnet34 quality tier, bf16"),
         (un_rate, "Unet/resnet34 speed tier, bf16"),
-        (q_rate, "Unet/resnet34 int8-PTQ tier, calibrated sidecar"))
+        (q_rate, "Unet/resnet34 int8-PTQ tier, calibrated sidecar"),
+        (tpu_rate, "UnetTPU/resnet34 lane-aligned tier, bf16"),
+        (tq_rate, "UnetTPU/resnet34 lane-aligned int8-PTQ tier"))
 
     cfg = get_cfg_defaults()
     cfg.DATA.IMG_SIZE = 512
